@@ -1,0 +1,138 @@
+"""The distributed extraction job: scan → gate → partition → mapInPandas.
+
+Target lifecycle (SURVEY.md §3.4):
+
+    read pages → prune columns → validity gate (P1) → host-hash repartition
+    (+ salt for hot hosts) → mapInPandas(extract_batch) → extracted rows
+
+Scale notes (the parts the 100 TB design hangs on):
+* **Column pruning**: `html` (the giant binary column) is selected only into
+  the UDF stage and dropped in its output — every downstream query reads
+  extracted parquet without it.
+* **Explicit hash partitioning on url-host** (north_rule): co-locates each
+  host's pages so per-host skew is visible and addressable; hot hosts get a
+  salt suffix so one host never pins one executor.
+* **No driver-side loops**: host extraction, salting, and all per-doc logic
+  are column expressions + one Arrow-batched UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.pipeline import extract_document
+from .schema import EXTRACTED_SCHEMA
+
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+_OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """host column via JVM-side regexp (no Python)."""
+    return df.withColumn("host", F.regexp_extract(F.col(url_col), HOST_RE, 1))
+
+
+def with_salted_key(
+    df: DataFrame,
+    hot_hosts: list[str] | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Partition key = host, salted for known-hot hosts (SURVEY §4.3).
+
+    ``hot_hosts`` comes from a cheap sampled count upstream (see
+    ``detect_hot_hosts``); at 10^12 docs that sample is a separate tiny job.
+    """
+    host = F.col("host")
+    if hot_hosts:
+        salted = F.concat(
+            host, F.lit("#"),
+            F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("string"),
+        )
+        key = F.when(host.isin(hot_hosts), salted).otherwise(host)
+    else:
+        key = host
+    return df.withColumn("part_key", key)
+
+
+def detect_hot_hosts(
+    df: DataFrame, threshold: float = 0.05, sample_fraction: float = 0.01
+) -> list[str]:
+    """Sampled per-host frequency; hosts above `threshold` of rows are hot.
+
+    Deterministic seed so plans are reproducible run-to-run.
+    """
+    sample = df.select("host")
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=42)
+    total = sample.count()
+    if total == 0:
+        return []
+    rows = (
+        sample.groupBy("host").count()
+        .where(F.col("count") > threshold * total)
+        .orderBy("host")
+        .collect()
+    )
+    return [r["host"] for r in rows]
+
+
+def extract_batch(iterator):
+    """mapInPandas worker: Arrow batch in → extracted batch out.
+
+    Pure function of row content — batch boundaries and row order never
+    affect any output value (byte-identity invariant).
+    """
+    for pdf in iterator:
+        out = []
+        for url, host, html, lang in zip(
+            pdf["url"], pdf["host"], pdf["html"], pdf["lang"]
+        ):
+            row = extract_document(url, html, lang or "")
+            row["host"] = host
+            s = row.pop("stats")
+            row["stats"] = (
+                s["n_chars"], s["n_words"], s["n_lines"], s["n_paragraphs"],
+                s["n_sentences"], s["avg_word_len"], s["reading_time_min"],
+            )
+            row["segments"] = [
+                (d["text"], d["script_type"], d["start"], d["end"])
+                for d in row["segments"]
+            ]
+            row["term_hits"] = [
+                (d["term"], d["romaji"], d["translation"], d["category"],
+                 d["pos"])
+                for d in row["term_hits"]
+            ]
+            row["macron_candidates"] = [
+                (d["observed"], d["candidate"], d["start"], d["end"],
+                 d["ambiguous"])
+                for d in row["macron_candidates"]
+            ]
+            row["figures"] = [
+                (d["region_id"], d["region_type"], d["start"], d["end"],
+                 d["caption"], d["confidence"], d["reading_order"])
+                for d in row["figures"]
+            ]
+            out.append(tuple(row[c] for c in _OUT_COLS))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+
+def run_extract(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    hot_hosts: list[str] | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """pages DataFrame → extracted DataFrame (lazy; caller writes/collects)."""
+    df = pages.select("url", "html", "lang")          # column pruning: no warc_ts/text
+    df = df.filter(F.col("html").isNotNull() & (F.length("html") > 0))  # P1
+    df = with_host(df)
+    df = with_salted_key(df, hot_hosts, salt_buckets)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n, F.col("part_key"))
+    out = df.select("url", "host", "html", "lang").mapInPandas(
+        extract_batch, schema=EXTRACTED_SCHEMA
+    )
+    return out

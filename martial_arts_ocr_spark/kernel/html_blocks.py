@@ -1,0 +1,260 @@
+"""DOM block segmentation over stdlib ``html.parser``.
+
+Web analogue of the reference's layout-analysis candidate proposal:
+
+* MSER text-block proposal (``/root/reference/src/martial_arts_ocr/imaging``
+  → ``utils/image/layout/filters/text_filter.py:49-76 detect_mser``) — here,
+  block-level elements with text become candidate blocks;
+* the nontext pre-mask (``utils/image/preprocessing/textmask.py:6-50``) —
+  here, ``<script>/<style>/<noscript>/<template>`` subtrees are stripped
+  before proposal;
+* figure detection anchors (``utils/image/layout/detectors/figure.py:51-121``)
+  — ``<figure>/<img>/<svg>/<table>`` produce figure-region candidates.
+
+Output is a flat list of :class:`Block` records in document order, each with
+a char-span into the emitted text stream — the web analogue of a pixel bbox
+(SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose subtree is never content (reference nontext mask analogue).
+SKIP_SUBTREE = {"script", "style", "noscript", "template", "iframe", "object"}
+
+# Elements that open a new text block.
+BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "blockquote", "pre", "article", "section", "main", "aside", "nav",
+    "header", "footer", "figure", "figcaption", "title", "caption",
+    "dt", "dd", "tr", "table", "ul", "ol", "body",
+}
+
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "title"}
+
+# Chrome ancestors: being inside one of these is structural evidence of
+# boilerplate (DOM-tree classifier feature, SURVEY §2.10 D6).
+CHROME_TAGS = {"nav", "footer", "header", "aside"}
+
+# class/id substrings that mark chrome (public heuristic à la boilerpipe /
+# readability; analogous to the reference's text-like rejection reasons,
+# text_filter.py:366-400).
+CHROME_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|menu|footer|header|banner|cookie|consent|sidebar|"
+    r"breadcrumb|share|social|advert|ads?|promo|related|comment|widget|"
+    r"skip|masthead|copyright)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+_WS_RE = re.compile(r"\s+")
+_SPACE_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+@dataclass
+class Block:
+    """One candidate text block (web bbox = char span + node path)."""
+
+    block_id: int
+    tag: str
+    node_path: str
+    depth: int
+    start: int          # char offset of block text in the page text stream
+    text: str = ""
+    n_anchor_chars: int = 0
+    n_text_nodes: int = 0
+    in_chrome_tag: bool = False      # inside nav/footer/header/aside
+    chrome_class: bool = False       # self-or-ancestor class/id matches chrome
+    is_heading: bool = False
+    is_list_item: bool = False
+    is_figure: bool = False          # figure/table subtree
+    caption: str = ""                # figcaption / img alt / table caption
+    parent_path: str = ""
+    sibling_sig: str = ""            # tag+class signature for sibling-panel detection
+
+    @property
+    def end(self) -> int:
+        return self.start + len(self.text)
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        return self.n_anchor_chars / len(self.text) if self.text else 0.0
+
+
+@dataclass
+class _Frame:
+    tag: str
+    path: str
+    sig: str
+    chrome_tag: bool
+    chrome_class: bool
+    figure: bool
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self.stack: list[_Frame] = []
+        self.skip_depth = 0
+        self.cursor = 0                 # char position in the page text stream
+        self.cur: Block | None = None
+        self.anchor_depth = 0
+        self.tag_counts: dict[str, int] = {}
+        self.pending_caption: list[str] = []
+        self.figure_stack: list[Block] = []
+        self._id = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _path(self, tag: str) -> str:
+        n = self.tag_counts.get(tag, 0) + 1
+        self.tag_counts[tag] = n
+        parent = self.stack[-1].path if self.stack else ""
+        return f"{parent}/{tag}[{n}]" if parent else f"{tag}[{n}]"
+
+    def _flush(self) -> None:
+        """Close the current block if it holds any text.
+
+        Whitespace is normalized per line, but newlines (from ``<br>``) are
+        preserved so the cleanup chain's hyphen/soft-wrap line merges (T3/T4)
+        can see the original line structure.
+        """
+        if self.cur is None:
+            return
+        raw = self.cur.text
+        lines = [_SPACE_RE.sub(" ", ln).strip() for ln in raw.split("\n")]
+        norm = "\n".join(ln for ln in lines if ln).strip()
+        if norm:
+            # recompute anchor chars against the normalized text proportionally
+            self.cur.text = norm
+            self.blocks.append(self.cur)
+            self.cursor = self.cur.start + len(norm) + 1  # +1 block separator
+        self.cur = None
+
+    def _open_block(self, tag: str, frame: _Frame) -> None:
+        self._flush()
+        self._id += 1
+        self.cur = Block(
+            block_id=self._id,
+            tag=tag,
+            node_path=frame.path,
+            depth=len(self.stack),
+            start=self.cursor,
+            in_chrome_tag=frame.chrome_tag,
+            chrome_class=frame.chrome_class,
+            is_heading=tag in HEADING_TAGS,
+            is_list_item=tag in {"li", "dt", "dd"},
+            is_figure=frame.figure,
+            parent_path=self.stack[-2].path if len(self.stack) >= 2 else "",
+            sibling_sig=frame.sig,
+        )
+
+    # -- HTMLParser hooks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_SUBTREE:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        attrd = dict(attrs)
+        classes = f"{attrd.get('class', '') or ''} {attrd.get('id', '') or ''}"
+        chrome_cls = bool(CHROME_CLASS_RE.search(classes)) or (
+            self.stack[-1].chrome_class if self.stack else False
+        )
+        chrome_tag = tag in CHROME_TAGS or (
+            self.stack[-1].chrome_tag if self.stack else False
+        )
+        figure = tag in {"figure", "table", "svg"} or (
+            self.stack[-1].figure if self.stack else False
+        )
+        path = self._path(tag)
+        sig = f"{tag}.{(attrd.get('class') or '').strip()}"
+        frame = _Frame(tag, path, sig, chrome_tag, chrome_cls, figure)
+        self.stack.append(frame)
+
+        if tag == "a":
+            self.anchor_depth += 1
+        if tag == "br" and self.cur is not None:
+            self.cur.text += "\n"
+        if tag == "img":
+            alt = (attrd.get("alt") or "").strip()
+            if alt and self.figure_stack:
+                self.figure_stack[-1].caption = (
+                    self.figure_stack[-1].caption or alt
+                )
+        if tag in BLOCK_TAGS:
+            self._open_block(tag, frame)
+            if tag == "figure":
+                self.figure_stack.append(self.cur)
+        # void elements never get an endtag from some generators; pop now
+        if tag in {"br", "img", "hr", "meta", "link", "input"}:
+            self.stack.pop()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in {"br", "img", "hr", "meta", "link", "input"} and (
+            tag not in SKIP_SUBTREE
+        ):
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_SUBTREE:
+            if self.skip_depth:
+                self.skip_depth -= 1
+            return
+        if self.skip_depth:
+            return
+        if tag == "a" and self.anchor_depth:
+            self.anchor_depth -= 1
+        if tag == "figcaption" and self.cur is not None and self.figure_stack:
+            cap = _WS_RE.sub(" ", self.cur.text).strip()
+            if cap:
+                self.figure_stack[-1].caption = cap
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag == "figure" and self.figure_stack:
+                self.figure_stack.pop()
+        # pop matching frame (lenient to tag soup)
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self.skip_depth or not data:
+            return
+        if self.cur is None:
+            if not data.strip():
+                return
+            # bare text outside any block tag: synthesize an implicit block
+            frame = self.stack[-1] if self.stack else _Frame(
+                "body", "body[1]", "body.", False, False, False
+            )
+            self._open_block(frame.tag if frame.tag in BLOCK_TAGS else "div", frame)
+        self.cur.text += data
+        self.cur.n_text_nodes += 1
+        if self.anchor_depth:
+            self.cur.n_anchor_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def segment_blocks(html_text: str) -> list[Block]:
+    """Parse page text into document-ordered candidate blocks."""
+    p = _BlockParser()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        # tag-soup repair analogue (reference deskew N3): html.parser is
+        # lenient, but guard hard failures — salvage what was parsed.
+        p._flush()
+    return p.blocks

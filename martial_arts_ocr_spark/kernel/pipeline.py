@@ -1,0 +1,165 @@
+"""Per-document extraction pipeline — the kernel's single entry point.
+
+Web graft of ``OCRProcessor.process_document``
+(``/root/reference/src/martial_arts_ocr/ocr/processor.py:97-196``):
+
+    decode (N1) → parse/segment blocks (D7/D9) → quick quality gate (P2) →
+    dual-extractor scoring (A: density P5/D8, B: DOM tree D6) → consensus
+    merge (A1/P6) → figure regions (D1/D5, M1/M2) → reading-order assembly
+    (W1-W3) → cleanup chain (T1-T17) → script segments + romanization +
+    terminology + macron candidates (L1-L8, J4/J5) → stats (A6/A7) → row.
+
+Pure function ``(url, html_bytes, lang_hint) -> dict`` — deterministic,
+stdlib-only; Spark wraps it in ``mapInPandas`` (engine/job.py). The P3
+full-page-vs-region decision (processor.py:248-263) survives as: when ≤2
+blocks were accepted or accepted coverage <20% of total text, fall back to
+whole-document extraction (all non-chrome blocks) — the analogue of
+full-page OCR when region OCR looks degenerate.
+"""
+
+from __future__ import annotations
+
+from . import (assemble, cleanup, consensus, density, domtree, regions,
+               romanize, script, terms)
+from .encoding import decode_html
+from .html_blocks import segment_blocks
+
+# P2-style quick gate thresholds (processor.py:211-246: text<20 chars /
+# <5 words → needs the heavy path / marked low quality)
+MIN_DOC_CHARS = 20
+MIN_DOC_WORDS = 5
+# P3 thresholds (processor.py:248-263: ≤2 regions or <20% coverage)
+FALLBACK_MIN_BLOCKS = 2
+FALLBACK_MIN_COVERAGE = 0.20
+
+
+def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
+    """Extract one document. Never raises: failures return status='failed'."""
+    row: dict = {
+        "url": url,
+        "status": "completed",
+        "error": None,
+        "encoding": None,
+        "text": "",
+        "n_blocks": 0,
+        "n_rejected": 0,
+        "n_review": 0,
+        "decision_source": "consensus",
+        "reading_order_uncertain": False,
+        "lang_detected": "unknown",
+        "ja_ratio": 0.0,
+        "is_mixed": False,
+        "confidence": 0.0,
+        "quality": "empty",
+        "segments": [],
+        "romaji": None,
+        "term_hits": [],
+        "macron_candidates": [],
+        "figures": [],
+        "stats": assemble.text_statistics(""),
+    }
+    try:
+        if not html:
+            row["status"] = "failed"
+            row["error"] = "empty_html"
+            return row
+        html_text, enc = decode_html(html)
+        row["encoding"] = enc
+        blocks = segment_blocks(html_text)
+        if not blocks:
+            row["status"] = "failed"
+            row["error"] = "no_blocks"
+            return row
+
+        verdict_a = [density.score_block(b) for b in blocks]
+        verdict_b = domtree.classify_blocks(blocks)
+        decisions = consensus.merge_blocks(blocks, verdict_a, verdict_b)
+
+        accepted = [d for d in decisions if d.accept]
+        total_chars = sum(b.n_chars for b in blocks) or 1
+        acc_chars = sum(d.block.n_chars for d in accepted)
+        # P3 fallback: degenerate region extraction → whole-document path
+        if (len(accepted) <= FALLBACK_MIN_BLOCKS
+                or acc_chars / total_chars < FALLBACK_MIN_COVERAGE):
+            fallback = [
+                consensus.BlockDecision(b, True, 0.5, "fullpage", True, ())
+                for b in blocks
+                if not (b.in_chrome_tag or b.chrome_class)
+            ]
+            # A1 arg-max between the two whole-doc candidates
+            text_consensus, _ = assemble.assemble_text(decisions)
+            text_fallback, _ = assemble.assemble_text(fallback)
+            s_cons = consensus.candidate_score(0.8, text_consensus)
+            s_fall = consensus.candidate_score(0.5, text_fallback)
+            if s_fall > s_cons:
+                decisions = fallback
+                row["decision_source"] = "fullpage"
+
+        raw_text, uncertain = assemble.assemble_text(decisions)
+        text = cleanup.clean_text(raw_text)
+
+        row["n_blocks"] = sum(1 for d in decisions if d.accept)
+        row["n_rejected"] = sum(1 for d in decisions if not d.accept)
+        row["n_review"] = sum(1 for d in decisions if d.review)
+        row["reading_order_uncertain"] = uncertain
+        row["text"] = text
+
+        # figures
+        figs, _events = regions.merge_spans(regions.detect_figures(decisions))
+        row["figures"] = [
+            {"region_id": r.region_id, "region_type": r.region_type,
+             "start": r.start, "end": r.end, "caption": r.caption,
+             "confidence": r.confidence, "reading_order": r.reading_order}
+            for r in figs
+        ]
+
+        # language / script path (P7 gate: skip unless Japanese present)
+        comp = script.language_composition(text)
+        row["ja_ratio"] = comp["ja_ratio"]
+        row["is_mixed"] = comp["is_mixed"]
+        row["lang_detected"] = comp["dominant"]
+        ja_conf = 0.0
+        if script.has_japanese(text):
+            segs = script.japanese_segments(text)
+            row["segments"] = [
+                {"text": s.text, "script_type": s.script_type,
+                 "start": s.start, "end": s.end}
+                for s in segs
+            ]
+            row["romaji"] = romanize.overall_romaji([s.text for s in segs])
+            row["term_hits"] = [
+                {"term": h.term, "romaji": h.romaji,
+                 "translation": h.translation, "category": h.category,
+                 "pos": h.pos}
+                for h in terms.extract_terms(text)
+            ]
+            ja_conf = min(0.3 + 0.1 * len(segs), 0.9)
+        row["macron_candidates"] = [
+            {"observed": c.observed, "candidate": c.candidate,
+             "start": c.start, "end": c.end, "ambiguous": c.ambiguous}
+            for c in terms.find_macron_candidates(text)
+        ]
+
+        # stats + confidences (A4/A5/A6)
+        stats = assemble.text_statistics(text)
+        row["stats"] = stats
+        mean_conf = (
+            sum(d.confidence for d in decisions if d.accept) / row["n_blocks"]
+            if row["n_blocks"] else 0.0
+        )
+        # A4: overall = 0.7·extraction + 0.3·japanese, capped 1.0
+        # (processor.py:376-390)
+        row["confidence"] = round(min(0.7 * mean_conf + 0.3 * ja_conf
+                                      if ja_conf else mean_conf, 1.0), 6)
+        # A5 staircase (processor.py:392-414 shape)
+        if stats["n_chars"] < MIN_DOC_CHARS or stats["n_words"] < MIN_DOC_WORDS:
+            row["quality"] = "low"
+        elif row["confidence"] >= 0.8 and stats["n_words"] >= 50:
+            row["quality"] = "high"
+        else:
+            row["quality"] = "medium"
+        return row
+    except Exception as exc:  # never fail the batch (orchestrator.py:289-311)
+        row["status"] = "failed"
+        row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+        return row
