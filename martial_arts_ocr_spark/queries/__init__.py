@@ -1,0 +1,21 @@
+"""Driver-harness query surface (SURVEY.md §2 coverage).
+
+Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, str]`` (DuckDB ANSI SQL over the pre-registered
+views). Names without an oracle get the driver's weaker rows-only check
+(non-SQL-expressible ops: the extraction pipeline itself, MinHash/SimHash).
+
+Determinism rules applied everywhere:
+* every float aggregate is ``round(x, 2..6)`` on BOTH sides;
+* every LIMIT is preceded by a total ORDER BY with a unique tie-break;
+* aggregates are cast to BIGINT/DOUBLE explicitly (DuckDB's HUGEINT sums
+  would otherwise hash differently from Spark's bigint).
+"""
+
+from . import extraction, relational, similarity, textops
+
+ALL_QUERIES = {}
+ALL_ORACLES = {}
+for mod in (relational, textops, similarity, extraction):
+    ALL_QUERIES.update(mod.QUERIES)
+    ALL_ORACLES.update(getattr(mod, "ORACLES", {}))

@@ -1,0 +1,279 @@
+"""Similarity / dedup operators over `embeddings` and `documents`.
+
+The large-scale training-pipeline additions:
+
+* brute-force cosine top-k (oracle: DuckDB ``list_cosine_similarity``) —
+  the correctness baseline for ANN;
+* LSH-bucketed cosine (scale path: random-hyperplane signatures → bucket
+  equi-join; avoids the O(N²) cross join at corpus scale) — rows-only;
+* MinHash near-dup candidates over word shingles (banding → bucket join) —
+  rows-only;
+* SimHash fingerprints — rows-only.
+
+All Python math runs in Arrow-batched pandas UDFs over numpy (no per-row
+Python); bucket joins are ordinary Spark shuffles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _emb(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- brute-force cosine top-k vs a fixed query vector (vec_id = 0) --------------
+
+def q_ann_cosine_top10(spark, sf_dir):
+    """Top-10 nearest to vec_id 0 by cosine, brute force.
+
+    Query vector is broadcast as a literal array; the dot product runs
+    JVM-side via higher-order functions (zip_with + aggregate) — no Python.
+    At 100 TB the same plan holds: one scan, no shuffle except the final
+    top-k (which AQE executes as a partial+final TakeOrdered).
+    """
+    emb = _emb(spark, sf_dir)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = list(qrow["embedding"])
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    norm_q = F.sqrt(F.aggregate(
+        F.transform(q, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    cos = F.round(dot / (norm_e * norm_q), 5)
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 5) AS cosine
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+# --- per-label embedding norms (vector agg sanity surface) ----------------------
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+ORACLE_NORMS = """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS DOUBLE), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --- LSH-bucketed cosine neighbors (scale path; rows-only check) -----------------
+
+_LSH_PLANES = 16
+
+
+def _lsh_signature_udf():
+    import numpy as np
+
+    @pandas_udf(T.IntegerType())
+    def sig(emb: pd.Series) -> pd.Series:
+        # deterministic hyperplanes from a fixed-seed generator
+        rng = np.random.RandomState(42)
+        mat = rng.standard_normal((_LSH_PLANES, 64))
+        arrs = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (arrs @ mat.T) > 0
+        out = np.zeros(len(arrs), dtype=np.int32)
+        for i in range(_LSH_PLANES):
+            out = (out << 1) | bits[:, i].astype(np.int32)
+        return pd.Series(out)
+
+    return sig
+
+
+def q_lsh_bucket_candidates(spark, sf_dir):
+    """Near-neighbor candidate pairs via random-hyperplane LSH buckets.
+
+    The 100 TB plan: signature (map-only, Arrow-vectorized) → self equi-join
+    on bucket id (hash shuffle on 2^16 keys) → pair scoring only inside
+    buckets. Candidate count here, pairs verified by exact cosine in a
+    follow-up stage.
+    """
+    emb = _emb(spark, sf_dir)
+    sig = _lsh_signature_udf()
+    with_sig = emb.select("vec_id", "label",
+                          sig(F.col("embedding")).alias("bucket"))
+    a = with_sig.alias("a")
+    b = with_sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+    return pairs
+
+
+# --- MinHash near-dup candidates over documents (rows-only) ----------------------
+
+_MINHASH_PERMS = 32
+_MINHASH_BANDS = 8          # 8 bands × 4 rows
+_SHINGLE = 3
+
+
+def _stable_hash64(s: str) -> int:
+    """Process-independent 63-bit hash (built-in hash() is salted per
+    process — it would break byte-identity across runs/executors)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+    ) & 0x7FFFFFFFFFFFFFFF
+
+
+def _minhash_udf():
+    import numpy as np
+
+    out_t = T.ArrayType(T.LongType())
+
+    @pandas_udf(out_t)
+    def mh(text: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(42)
+        # universal-hash parameters (odd multipliers), 61-bit Mersenne prime
+        P = (1 << 61) - 1
+        a = rng.randint(1, P, size=_MINHASH_PERMS, dtype=np.int64) | 1
+        b = rng.randint(0, P, size=_MINHASH_PERMS, dtype=np.int64)
+
+        def one(t: str):
+            toks = t.split()
+            if len(toks) < _SHINGLE:
+                shingles = {_stable_hash64(t)}
+            else:
+                shingles = {
+                    _stable_hash64(" ".join(toks[i:i + _SHINGLE]))
+                    for i in range(len(toks) - _SHINGLE + 1)
+                }
+            arr = np.fromiter(shingles, dtype=np.int64)
+            # sig_j = min over shingles of (a_j*s + b_j mod P)
+            vals = (arr[None, :] * a[:, None] + b[:, None]) % P
+            return vals.min(axis=1).tolist()
+
+        return text.apply(one)
+
+    return mh
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash → banded bucket keys; groups with >1 doc are near-dup
+    candidates. PYTHONHASHSEED must be fixed for cross-run determinism
+    (bench/driver set it); within a run, executors inherit one seed.
+    """
+    d = _docs(spark, sf_dir)
+    mh = _minhash_udf()
+    sigs = d.select("doc_id", mh(F.col("text")).alias("sig"))
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(",", *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ])
+                for b in range(_MINHASH_BANDS)
+            ])
+        ).alias("band", "band_key"),
+    )
+    cands = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_set("doc_id").alias("docs"),
+             F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("band", F.sort_array("docs").alias("docs"), "n")
+        .orderBy("band", "docs")
+    )
+    return cands
+
+
+# --- SimHash fingerprints (rows-only) --------------------------------------------
+
+def _simhash_udf():
+    import numpy as np
+
+    @pandas_udf(T.LongType())
+    def sh(text: pd.Series) -> pd.Series:
+        def one(t: str) -> int:
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(t.split()):
+                h = _stable_hash64(tok)
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            out = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    out |= 1 << bit
+            return out - (1 << 64) if out >= (1 << 63) else out
+
+        return text.apply(one)
+
+    return sh
+
+
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sh = _simhash_udf()
+    return (
+        d.where(F.col("doc_id") < 50)
+        .select("doc_id", sh(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "ann_cosine_top10": q_ann_cosine_top10,
+    "embedding_norms": q_embedding_norms,
+    "lsh_bucket_candidates": q_lsh_bucket_candidates,
+    "minhash_bands": q_minhash_bands,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "ann_cosine_top10": ORACLE_ANN,
+    "embedding_norms": ORACLE_NORMS,
+    # lsh/minhash/simhash: non-SQL-expressible → rows-only driver check
+}

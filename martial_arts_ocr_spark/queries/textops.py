@@ -1,0 +1,255 @@
+"""Training-data text operators over the `documents` table.
+
+The text-statistics / quality / language operators from SURVEY.md §2.4
+(A5-A7) and the large-scale-pipeline additions (exact dedup, fingerprinting,
+token counting, language-ID heuristic, quality scoring) — all expressed as
+JVM-side Column algebra (no Python UDFs in this module; whole-stage codegen
+end-to-end), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- per-language token/char statistics (A6 corpus rollup) --------------------
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+            F.round(F.avg(tokens), 2).alias("avg_tokens"),
+            F.max(F.length("text")).cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOC_STATS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(length(text)) AS DOUBLE), 2) AS avg_chars,
+       round(CAST(avg(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE), 2) AS avg_tokens,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- exact dedup via content hash (O1 cross-corpus analogue) -------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_DUP_GROUPS = """
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Exact dedup keeping min doc_id per content hash — the scalable
+    pattern (hash → groupBy → min) rather than dropDuplicates on text."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("keep_doc_id")
+        .select("keep_doc_id", "content_hash")
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, md5(text) AS content_hash
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+"""
+
+
+# --- document fingerprints (md5; L-like fingerprint op) ------------------------
+
+def q_fingerprints(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("n_chars") > 400)
+        .select("doc_id", F.md5("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+WHERE n_chars > 400 ORDER BY doc_id
+"""
+
+
+# --- quality scoring (A5 staircase as Column algebra) ---------------------------
+
+def q_quality_buckets(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    avg_word = n_chars / tokens
+    bucket = (
+        F.when(n_chars < 100, "tiny")
+        .when(tokens < 20, "short")
+        .when(avg_word > 12, "suspicious")
+        .otherwise("ok")
+    )
+    return (
+        d.select(bucket.alias("quality_bucket"))
+        .groupBy("quality_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("quality_bucket")
+    )
+
+
+ORACLE_QUALITY = """
+SELECT CASE
+         WHEN length(text) < 100 THEN 'tiny'
+         WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 20 THEN 'short'
+         WHEN CAST(length(text) AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\\s+')) > 12
+              THEN 'suspicious'
+         ELSE 'ok'
+       END AS quality_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- language-ID heuristic (L12 analogue: marker-word scoring) -------------------
+
+# marker → lang; counts of ' <marker> ' occurrences decide the language.
+_MARKERS = [("the", "en"), ("el", "es"), ("der", "de"), ("le", "fr")]
+
+
+def _occurrences(col, marker):
+    # number of occurrences of ' marker ' = (len - len(replace)) / len(marker+2)
+    pat = f" {marker} "
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("bigint")
+
+
+def q_langid_heuristic(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    col = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    counts = [_occurrences(col, m).alias(f"n_{m}") for m, _ in _MARKERS]
+    scored = d.select("doc_id", "lang", *counts)
+    best = F.greatest(*[F.col(f"n_{m}") for m, _ in _MARKERS])
+    pred = F.when(best == 0, "unknown")
+    for m, lg in _MARKERS:
+        pred = pred.when(F.col(f"n_{m}") == best, lg)
+    scored = scored.select("doc_id", "lang", pred.alias("predicted"))
+    return (
+        scored.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+ORACLE_LANGID = """
+WITH scored AS (
+  SELECT doc_id, lang,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS n_the,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT) AS n_el,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT) AS n_der,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4 AS BIGINT) AS n_le
+  FROM documents
+), pred AS (
+  SELECT lang,
+    CASE WHEN greatest(n_the, n_el, n_der, n_le) = 0 THEN 'unknown'
+         WHEN n_the = greatest(n_the, n_el, n_der, n_le) THEN 'en'
+         WHEN n_el  = greatest(n_the, n_el, n_der, n_le) THEN 'es'
+         WHEN n_der = greatest(n_the, n_el, n_der, n_le) THEN 'de'
+         WHEN n_le  = greatest(n_the, n_el, n_der, n_le) THEN 'fr'
+    END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- token totals per source (token-counting op) ---------------------------------
+
+def q_tokens_by_source(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(F.sum(tokens).alias("total_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("total_tokens"), F.asc("source"))
+        .limit(10)
+    )
+
+
+ORACLE_TOKENS_BY_SOURCE = """
+SELECT source,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+ORDER BY total_tokens DESC, source ASC LIMIT 10
+"""
+
+
+# --- punctuation-ratio text confidence (T17 analogue) -----------------------------
+
+def q_punct_ratio(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    ratio = F.round(n_punct / F.length("text"), 4)
+    return (
+        d.select("doc_id", ratio.alias("punct_ratio"))
+        .where(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PUNCT = """
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "exact_dup_groups": q_exact_dup_groups,
+    "dedup_survivors": q_dedup_survivors,
+    "fingerprints": q_fingerprints,
+    "quality_buckets": q_quality_buckets,
+    "langid_heuristic": q_langid_heuristic,
+    "tokens_by_source": q_tokens_by_source,
+    "punct_ratio": q_punct_ratio,
+}
+
+ORACLES = {
+    "doc_stats_by_lang": ORACLE_DOC_STATS,
+    "exact_dup_groups": ORACLE_DUP_GROUPS,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "quality_buckets": ORACLE_QUALITY,
+    "langid_heuristic": ORACLE_LANGID,
+    "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
+    "punct_ratio": ORACLE_PUNCT,
+}
