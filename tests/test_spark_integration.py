@@ -1,0 +1,99 @@
+"""Spark integration: mapInPandas output ≡ kernel output, byte-identical;
+partitioning/pruning plan shape checks (SURVEY §5.2 item 3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from martial_arts_ocr_spark.engine.job import (
+    detect_hot_hosts,
+    run_extract,
+    with_host,
+    with_salted_key,
+)
+from martial_arts_ocr_spark.fixtures.gen_pages import (
+    HOT_HOST,
+    generate_pages,
+    pages_pandas,
+)
+from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pdf = pages_pandas(N)
+    pages = with_host(spark.createDataFrame(pdf))
+    out = run_extract(pages, num_partitions=4)
+    return {r.url: r for r in out.collect()}
+
+
+def test_spark_equals_kernel_bytewise(spark, extracted):
+    """The north-rule invariant: per-url text from the distributed job is
+    byte-identical to the pure kernel run on the driver."""
+    for row in generate_pages(N):
+        kernel_row = extract_document(row["url"], row["html"], row["lang"])
+        spark_row = extracted[row["url"]]
+        assert spark_row.text == kernel_row["text"], row["url"]
+        assert spark_row.n_blocks == kernel_row["n_blocks"]
+        assert spark_row.romaji == kernel_row["romaji"]
+
+
+def test_all_rows_present_and_completed(extracted):
+    assert len(extracted) == N
+    assert all(r.status == "completed" for r in extracted.values())
+
+
+def test_hot_host_detected(spark):
+    pages = with_host(spark.createDataFrame(pages_pandas(200)))
+    hot = detect_hot_hosts(pages, sample_fraction=1.0, threshold=0.2)
+    assert hot == [HOT_HOST]
+
+
+def test_salting_splits_hot_host(spark):
+    pages = with_host(spark.createDataFrame(pages_pandas(200)))
+    salted = with_salted_key(pages, [HOT_HOST], salt_buckets=4)
+    keys = [
+        r.part_key
+        for r in salted.select("part_key").distinct().collect()
+    ]
+    hot_keys = [k for k in keys if k.startswith(HOT_HOST + "#")]
+    assert len(hot_keys) >= 2          # hot host split into several buckets
+    assert HOT_HOST not in keys        # raw hot key no longer present
+
+
+def test_html_column_pruned_from_output(spark):
+    pages = with_host(spark.createDataFrame(pages_pandas(10)))
+    out = run_extract(pages, num_partitions=2)
+    assert "html" not in out.columns
+
+
+def test_plan_has_single_shuffle(spark):
+    """The extraction plan must contain exactly one exchange (the explicit
+    host repartition) — no hidden extra shuffles before the UDF."""
+    pages = with_host(spark.createDataFrame(pages_pandas(10)))
+    out = run_extract(pages, num_partitions=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_parquet_scan_prunes_html_for_metadata_query(spark, tmp_path):
+    """Column pruning reaches the parquet scan: a query over extracted
+    metadata must not read the text column it doesn't use."""
+    pdf = pages_pandas(20)
+    pages = with_host(spark.createDataFrame(pdf))
+    out_path = str(tmp_path / "extracted")
+    run_extract(pages, num_partitions=2).write.parquet(out_path)
+    meta = (
+        spark.read.parquet(out_path)
+        .groupBy("lang_detected").agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    # the scan schema must include lang_detected and exclude text/segments
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang_detected" in m.group(1)
+    assert "text" not in m.group(1)
