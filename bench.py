@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "extraction": {...}}
+
+The extraction block reports the north-star number (docs/sec through the
+full kernel+mapInPandas pipeline) plus the two-parallelism scaling stand-in
+when ``SPARK_GRAFT_SCALING=1``: the same extraction job at local[8] and
+local[32] on identical input, with efficiency = (T8/T32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+
+# headline queries (subset of __spark_entry__.queries(): the ones that
+# exercise each operator family at sf0.1 scale)
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_customers",
+    "events_sessions",
+    "doc_stats_by_lang",
+    "dedup_survivors",
+    "langid_heuristic",
+    "ann_cosine_top10",
+    "minhash_bands",
+    "extract_documents",
+]
+
+
+def _sf_label(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()          # forces full execution without driver collect
+    dt = time.perf_counter() - t0
+    assert n >= 0
+    return round(dt, 3)
+
+
+def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
+    """docs/sec through the full extraction pipeline on a fresh session."""
+    from martial_arts_ocr_spark.engine.job import run_extract, with_host
+    from martial_arts_ocr_spark.engine.session import build_session
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    spark = build_session(master=master, shuffle_partitions=parts,
+                          app_name=f"bench-extract-{master}")
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = pages_pandas(n_pages)
+    pages = with_host(spark.createDataFrame(pdf))
+    pages = pages.persist()
+    pages.count()                       # materialize input outside the clock
+    t0 = time.perf_counter()
+    out = run_extract(pages, num_partitions=parts,
+                      hot_hosts=["hot.example.com"])
+    n = out.count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"master": master, "n_docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 2)}
+
+
+def main() -> None:
+    from martial_arts_ocr_spark.engine.session import build_session
+    from martial_arts_ocr_spark.queries import ALL_QUERIES
+
+    spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+                          app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM/codegen/parquet-footer costs land here, not in query 1
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = time_query(ALL_QUERIES[name], spark, SF_DIR)
+    spark.stop()
+
+    result = {
+        "metric": "headline query wall time at sf (extraction + relational "
+                  "+ text + similarity operators)",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_label(SF_DIR),
+    }
+
+    # north-star extraction throughput at the bench parallelism
+    ext = extraction_throughput(f"local[{CPUS}]", N_PAGES, CPUS)
+    result["extraction"] = ext
+
+    # two-cluster-size scaling stand-in (north rule): local[8] vs local[32]
+    if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
+        lo = extraction_throughput("local[8]", N_PAGES, 8)
+        hi = extraction_throughput("local[32]", N_PAGES, 32)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+        result["scaling"] = {
+            "local8": lo, "local32": hi,
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

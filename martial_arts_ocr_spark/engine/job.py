@@ -34,6 +34,24 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("host", F.regexp_extract(F.col(url_col), HOST_RE, 1))
 
 
+def salted_key_col(
+    hot_hosts: list[str] | None = None, salt_buckets: int = 8
+):
+    """Column expression: host salted with a url-hash suffix for hot hosts.
+
+    Shared by the partitioning step and the resume bucketing so both always
+    derive identical keys from (host, url).
+    """
+    host = F.col("host")
+    if not hot_hosts:
+        return host
+    salted = F.concat(
+        host, F.lit("#"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("string"),
+    )
+    return F.when(host.isin(hot_hosts), salted).otherwise(host)
+
+
 def with_salted_key(
     df: DataFrame,
     hot_hosts: list[str] | None = None,
@@ -44,16 +62,7 @@ def with_salted_key(
     ``hot_hosts`` comes from a cheap sampled count upstream (see
     ``detect_hot_hosts``); at 10^12 docs that sample is a separate tiny job.
     """
-    host = F.col("host")
-    if hot_hosts:
-        salted = F.concat(
-            host, F.lit("#"),
-            F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("string"),
-        )
-        key = F.when(host.isin(hot_hosts), salted).otherwise(host)
-    else:
-        key = host
-    return df.withColumn("part_key", key)
+    return df.withColumn("part_key", salted_key_col(hot_hosts, salt_buckets))
 
 
 def detect_hot_hosts(

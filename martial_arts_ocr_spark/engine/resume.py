@@ -1,0 +1,181 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+North-rule requirements (BASELINE.json): "progress is checkpointed per
+Iceberg partition with lineage + per-partition extraction metrics written to
+a metrics table so failed runs resume exactly."
+
+Design (the reference analogue is the document status state machine
+``/root/reference/src/martial_arts_ocr/pipeline/orchestrator.py:289-311``
+— uploaded→processing→completed/failed — lifted from per-document SQLite
+rows to per-partition table rows):
+
+* input pages are bucketed by ``part_bucket = pmod(xxhash64(part_key), P)``
+  where ``part_key`` is the (salted) url-host — the Iceberg-partition
+  analogue;
+* buckets are processed in **waves** (``batch_size`` buckets per Spark
+  job — at 10^12 docs a snapshot is processed as a sequence of partition
+  waves, never one monolithic job);
+* after each wave commits (data written to ``extracted/part_bucket=k/``),
+  one checkpoint row per bucket and one metrics row per bucket are appended,
+  then a snapshot entry is logged;
+* resume = anti-join of buckets against completed checkpoint rows: a rerun
+  of the same ``run_id`` processes only unfinished buckets, byte-identically
+  (the kernel is a pure function, so reruns can't diverge).
+
+Crash atomicity in-sandbox: data for a wave lands under a temp dir and is
+renamed into place before its checkpoint rows are written — a wave is
+either fully visible+checkpointed or invisible; a crash between rename and
+checkpoint re-runs the wave, whose rename then replaces identical bytes
+(idempotent by determinism).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import catalog
+from .job import run_extract, salted_key_col, with_host, with_salted_key
+
+CHECKPOINT_TABLE = "checkpoints"
+METRICS_TABLE = "metrics"
+EXTRACTED_TABLE = "extracted"
+
+
+def _bucketed(pages: DataFrame, n_buckets: int,
+              hot_hosts: list[str] | None) -> DataFrame:
+    df = with_host(pages) if "host" not in pages.columns else pages
+    df = with_salted_key(df, hot_hosts)
+    return df.withColumn(
+        "part_bucket", F.pmod(F.xxhash64("part_key"), F.lit(n_buckets))
+        .cast("int"),
+    )
+
+
+def completed_buckets(spark: SparkSession, root: str, run_id: str) -> set[int]:
+    if not catalog.table_exists(root, CHECKPOINT_TABLE):
+        return set()
+    df = catalog.read_table(spark, root, CHECKPOINT_TABLE)
+    rows = (
+        df.where((F.col("run_id") == run_id) & (F.col("status") == "completed"))
+        .select("part_bucket").distinct().collect()
+    )
+    return {r.part_bucket for r in rows}
+
+
+def _pin_run_config(root: str, run_id: str, hot_hosts: list[str] | None,
+                    n_buckets: int) -> tuple[list[str] | None, int]:
+    """Persist (hot_hosts, n_buckets) on first run; reload on resume.
+
+    Bucket assignment depends on both — a resume that re-derived a
+    different hot-host list would shift keys and double-process documents,
+    so the first run's partitioning config is authoritative for its run_id.
+    """
+    import json
+    import os
+
+    path = os.path.join(root, f"_run_{run_id}.json")
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            cfg = json.load(f)
+        return cfg["hot_hosts"], cfg["n_buckets"]
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"hot_hosts": hot_hosts, "n_buckets": n_buckets}, f)
+    os.replace(tmp, path)
+    return hot_hosts, n_buckets
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    run_id: str,
+    n_buckets: int = 16,
+    batch_size: int = 4,
+    hot_hosts: list[str] | None = None,
+    fail_after_waves: int | None = None,
+) -> list[int]:
+    """Process all pending buckets in waves; returns buckets processed.
+
+    ``fail_after_waves`` injects a crash after N waves (for resume tests).
+    """
+    hot_hosts, n_buckets = _pin_run_config(root, run_id, hot_hosts, n_buckets)
+    bucketed = _bucketed(pages, n_buckets, hot_hosts).persist()
+    present = sorted(
+        r.part_bucket
+        for r in bucketed.select("part_bucket").distinct().collect()
+    )
+    done = completed_buckets(spark, root, run_id)
+    pending = [b for b in present if b not in done]
+
+    processed: list[int] = []
+    waves = [pending[i:i + batch_size]
+             for i in range(0, len(pending), batch_size)]
+    ext_path = catalog.table_path(root, EXTRACTED_TABLE)
+    for wave_no, wave in enumerate(waves):
+        if fail_after_waves is not None and wave_no >= fail_after_waves:
+            bucketed.unpersist()
+            raise RuntimeError(f"injected failure before wave {wave_no}")
+        subset = bucketed.where(F.col("part_bucket").isin(wave))
+        extracted = run_extract(
+            subset.select("url", "html", "lang", "host"),
+            num_partitions=max(len(wave), 1),
+            hot_hosts=hot_hosts,
+        )
+        # re-attach bucket id for partitioned write + metrics (same key
+        # derivation as _bucketed, via the shared salted_key_col)
+        extracted = extracted.withColumn(
+            "part_bucket",
+            F.pmod(F.xxhash64(salted_key_col(hot_hosts)), F.lit(n_buckets))
+            .cast("int"),
+        ).persist()
+
+        # 1. write wave data to a temp dir, then rename per bucket (atomic)
+        tmp_dir = os.path.join(root, f"_tmp_wave_{run_id}_{wave_no}")
+        (extracted.write.mode("overwrite")
+         .partitionBy("part_bucket").parquet(tmp_dir))
+        os.makedirs(ext_path, exist_ok=True)
+        for b in wave:
+            src = os.path.join(tmp_dir, f"part_bucket={b}")
+            dst = os.path.join(ext_path, f"part_bucket={b}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)      # idempotent re-run of a wave
+                os.replace(src, dst)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        # 2. per-partition metrics (lineage: run_id + bucket + counts)
+        metrics = (
+            extracted.groupBy("part_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("status") == "completed", 1).otherwise(0))
+                .alias("n_completed"),
+                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0))
+                .alias("n_failed"),
+                F.sum(F.length("text")).alias("n_chars_out"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+        )
+        (metrics.write.mode("append")
+         .parquet(catalog.table_path(root, METRICS_TABLE)))
+
+        # 3. checkpoint rows — the commit point for this wave
+        ckpt = spark.createDataFrame(
+            [(run_id, int(b), "completed") for b in wave],
+            "run_id string, part_bucket int, status string",
+        )
+        (ckpt.write.mode("append")
+         .parquet(catalog.table_path(root, CHECKPOINT_TABLE)))
+
+        catalog.append_snapshot(root, EXTRACTED_TABLE, {
+            "run_id": run_id, "wave": wave_no, "buckets": [int(b) for b in wave],
+        })
+        extracted.unpersist()
+        processed.extend(wave)
+    bucketed.unpersist()
+    return processed

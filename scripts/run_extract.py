@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Cluster entry point: checkpointed extraction over a pages table.
+
+Usage (north-rule launch shape)::
+
+    zip -r engine.zip martial_arts_ocr_spark
+    spark-submit --py-files engine.zip \
+        [--master spark://... | yarn] \
+        scripts/run_extract.py \
+        --pages /path/to/pages_parquet --warehouse /path/to/warehouse \
+        --run-id run-2024-01 --buckets 64 --batch-size 8 \
+        [--hot-hosts-threshold 0.05] [--n-synthetic 2000]
+
+On a real cluster the pages path is an Iceberg table (see
+engine/catalog.py for the catalog swap); in-sandbox it is parquet, or a
+deterministic synthetic table when ``--n-synthetic`` is given.
+
+Reruns with the same --run-id resume from the last committed partition
+wave (engine/resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="input pages parquet/Iceberg path")
+    ap.add_argument("--n-synthetic", type=int, default=0,
+                    help="generate N synthetic pages instead of reading --pages")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--hot-hosts-threshold", type=float, default=0.05)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from martial_arts_ocr_spark.engine.job import detect_hot_hosts, with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.engine.session import build_session
+
+    spark = build_session(app_name=f"extract-{args.run_id}",
+                          master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.n_synthetic:
+        from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+        pages = spark.createDataFrame(pages_pandas(args.n_synthetic))
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        ap.error("one of --pages / --n-synthetic is required")
+
+    hot = detect_hot_hosts(with_host(pages),
+                           threshold=args.hot_hosts_threshold,
+                           sample_fraction=0.1)
+    print(f"hot hosts: {hot}", file=sys.stderr)
+    processed = run_checkpointed(
+        spark, pages, args.warehouse, args.run_id,
+        n_buckets=args.buckets, batch_size=args.batch_size, hot_hosts=hot,
+    )
+    print(f"processed {len(processed)} partition buckets", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Checkpoint/resume semantics (north rule: "failed runs resume exactly").
+
+Mirrors the reference's status-transition tests
+(``/root/reference/tests/test_pipeline_orchestrator.py``) at partition
+granularity: crash mid-run → rerun → no duplicate work, complete output,
+byte-identical to an uninterrupted run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from martial_arts_ocr_spark.engine import catalog
+from martial_arts_ocr_spark.engine.resume import (
+    CHECKPOINT_TABLE,
+    EXTRACTED_TABLE,
+    METRICS_TABLE,
+    completed_buckets,
+    run_checkpointed,
+)
+from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+N = 60
+
+
+@pytest.fixture()
+def pages(spark):
+    return spark.createDataFrame(pages_pandas(N))
+
+
+def test_crash_then_resume_exactly(spark, pages, tmp_path):
+    root = str(tmp_path / "warehouse")
+
+    # run 1: crash after 1 wave
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="r1",
+                         n_buckets=8, batch_size=2, fail_after_waves=1)
+
+    done_after_crash = completed_buckets(spark, root, "r1")
+    assert 0 < len(done_after_crash) <= 2     # exactly one wave committed
+
+    # run 2: resume — must process only the remaining buckets
+    processed = run_checkpointed(spark, pages, root, run_id="r1",
+                                 n_buckets=8, batch_size=2)
+    assert set(processed).isdisjoint(done_after_crash)
+
+    # output: every url exactly once
+    out = catalog.read_table(spark, root, EXTRACTED_TABLE)
+    urls = [r.url for r in out.select("url").collect()]
+    assert len(urls) == N
+    assert len(set(urls)) == N
+
+    # byte-identity vs an uninterrupted run in a fresh warehouse
+    root2 = str(tmp_path / "warehouse2")
+    run_checkpointed(spark, pages, root2, run_id="clean",
+                     n_buckets=8, batch_size=8)
+    clean = {
+        r.url: r.text
+        for r in catalog.read_table(spark, root2, EXTRACTED_TABLE).collect()
+    }
+    resumed = {r.url: r.text for r in out.collect()}
+    assert resumed == clean
+
+
+def test_rerun_of_completed_run_is_noop(spark, pages, tmp_path):
+    root = str(tmp_path / "warehouse")
+    first = run_checkpointed(spark, pages, root, run_id="r1",
+                             n_buckets=4, batch_size=4)
+    assert first
+    again = run_checkpointed(spark, pages, root, run_id="r1",
+                             n_buckets=4, batch_size=4)
+    assert again == []                         # nothing pending
+
+
+def test_metrics_lineage_rows(spark, pages, tmp_path):
+    root = str(tmp_path / "warehouse")
+    run_checkpointed(spark, pages, root, run_id="r1",
+                     n_buckets=4, batch_size=2)
+    m = catalog.read_table(spark, root, METRICS_TABLE)
+    rows = m.collect()
+    assert all(r.run_id == "r1" for r in rows)
+    assert sum(r.n_docs for r in rows) == N
+    assert sum(r.n_completed for r in rows) == N
+    ck = catalog.read_table(spark, root, CHECKPOINT_TABLE)
+    assert ck.where(F.col("status") == "completed").count() == \
+        m.select("part_bucket").distinct().count()
+    snaps = catalog.read_snapshots(root, EXTRACTED_TABLE)
+    assert len(snaps) == 2                     # one per wave
+    assert all(s["run_id"] == "r1" for s in snaps)
