@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
 
 # headline queries (subset of __spark_entry__.queries(): the ones that
 # exercise each operator family at sf0.1 scale)
@@ -59,7 +59,14 @@ def time_query(fn, spark, sf_dir) -> float:
 
 
 def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
-    """docs/sec through the full extraction pipeline on a fresh session."""
+    """docs/sec through the full extraction pipeline on a fresh session.
+
+    A small warmup extraction runs before the clock so one-time costs
+    (Python worker spawn, codegen, shuffle service init) don't masquerade
+    as per-doc work — the steady-state number is what scales to a cluster.
+    Salt buckets scale with parallelism so the hot host spreads across the
+    whole cluster (SURVEY §4.3).
+    """
     from martial_arts_ocr_spark.engine.job import run_extract, with_host
     from martial_arts_ocr_spark.engine.session import build_session
     from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
@@ -71,9 +78,10 @@ def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
     pages = with_host(spark.createDataFrame(pdf))
     pages = pages.persist()
     pages.count()                       # materialize input outside the clock
+    run_extract(pages.limit(64), num_partitions=parts).count()   # warmup
     t0 = time.perf_counter()
     out = run_extract(pages, num_partitions=parts,
-                      hot_hosts=["hot.example.com"])
+                      hot_hosts=["hot.example.com"], salt_buckets=parts)
     n = out.count()
     dt = time.perf_counter() - t0
     spark.stop()
@@ -109,15 +117,11 @@ def main() -> None:
     ext = extraction_throughput(f"local[{CPUS}]", N_PAGES, CPUS)
     result["extraction"] = ext
 
-    # two-cluster-size scaling stand-in (north rule): local[8] vs local[32]
+    # two-cluster-size scaling stand-in (north rule): N vs 4N executor JVMs
     if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
-        lo = extraction_throughput("local[8]", N_PAGES, 8)
-        hi = extraction_throughput("local[32]", N_PAGES, 32)
-        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
-        result["scaling"] = {
-            "local8": lo, "local32": hi,
-            "efficiency": round(eff, 3),
-        }
+        from martial_arts_ocr_spark.engine.scaling_bench import run_scaling
+
+        result["scaling"] = run_scaling()
 
     print(json.dumps(result))
 

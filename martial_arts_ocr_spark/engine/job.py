@@ -133,14 +133,25 @@ def run_extract(
     num_partitions: int | None = None,
     hot_hosts: list[str] | None = None,
     salt_buckets: int = 8,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
-    """pages DataFrame → extracted DataFrame (lazy; caller writes/collects)."""
+    """pages DataFrame → extracted DataFrame (lazy; caller writes/collects).
+
+    ``pre_partitioned=True`` is the 100 TB fast path: the input table is
+    already hash-partitioned on url-host at ingest (Iceberg partition spec
+    ``bucket(host)``; emulated by the catalog's ``part_bucket=`` layout), so
+    the scan is co-located and the job runs with ZERO shuffles — scan →
+    mapInPandas → sink. Never re-shuffle 100 TB that storage already
+    partitioned. ``pre_partitioned=False`` performs the explicit salted
+    host-hash repartition for unpartitioned input.
+    """
     df = pages.select("url", "html", "lang")          # column pruning: no warc_ts/text
     df = df.filter(F.col("html").isNotNull() & (F.length("html") > 0))  # P1
     df = with_host(df)
-    df = with_salted_key(df, hot_hosts, salt_buckets)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n, F.col("part_key"))
+    if not pre_partitioned:
+        df = with_salted_key(df, hot_hosts, salt_buckets)
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, F.col("part_key"))
     out = df.select("url", "host", "html", "lang").mapInPandas(
         extract_batch, schema=EXTRACTED_SCHEMA
     )

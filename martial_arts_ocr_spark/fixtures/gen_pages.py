@@ -23,7 +23,10 @@ from ..kernel.terms import TERM_DICT
 SEED = 42
 
 HOT_HOST = "hot.example.com"
-TAIL_HOSTS = [f"site{i:02d}.example.org" for i in range(20)]
+# realistic host cardinality: real crawls have ≫ partitions many hosts, so
+# host-hash keys average out; a 20-host tail would fake collision skew that
+# no real corpus has (and mask the real skew: the hot host).
+TAIL_HOSTS = [f"site{i:03d}.example.org" for i in range(200)]
 
 _WORDS = (
     "history school tradition practice technique teacher student lineage "
@@ -179,4 +182,6 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED) -> None:
 
     df = pages_pandas(n, seed)
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros
+    pq.write_table(table, path, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
