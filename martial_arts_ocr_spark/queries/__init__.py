@@ -12,10 +12,10 @@ Determinism rules applied everywhere:
   would otherwise hash differently from Spark's bigint).
 """
 
-from . import extraction, relational, similarity, textops
+from . import extended, extraction, relational, similarity, textops
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for mod in (relational, textops, similarity, extraction):
+for mod in (relational, textops, similarity, extended, extraction):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))
