@@ -1,0 +1,87 @@
+"""Structured Streaming composition of the extraction engine.
+
+The north rule is batch-over-Iceberg-snapshots (SURVEY.md §2.14) — the
+checkpoint/resume runner (engine/resume.py) is the incremental-processing
+surface. This module demonstrates that the SAME extraction UDF composes
+unchanged with Structured Streaming for continuous-ingest deployments:
+
+    readStream (file source over the pages layout)
+      → mapInPandas(extract_batch)            [identical kernel]
+      → withWatermark + windowed quality aggregation
+      → writeStream (append/update)
+
+Late data is handled by the watermark; per-window counts mirror the
+per-partition metrics of the batch path (A12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine.job import with_host
+from .engine.schema import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over an append-only pages directory."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def extract_stream(pages: DataFrame) -> DataFrame:
+    """Streaming extraction: same column pruning, validity gate, and kernel
+    as the batch job; a stateless map, so the stream stays append-mode.
+    ``warc_ts`` passes through the UDF for event-time windowing."""
+    import pandas as pd
+
+    df = pages.select("url", "warc_ts", "html", "lang")
+    df = df.filter(F.col("html").isNotNull() & (F.length("html") > 0))
+    df = with_host(df)
+
+    schema = "url string, warc_ts timestamp, host string, status string, " \
+             "lang_detected string, quality string, n_blocks int, text_len int"
+
+    def batch(it):
+        from .kernel.pipeline import extract_document
+
+        for pdf in it:
+            rows = []
+            for url, ts, host, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["host"], pdf["html"],
+                pdf["lang"],
+            ):
+                r = extract_document(url, html, lang or "")
+                rows.append((url, ts, host, r["status"], r["lang_detected"],
+                             r["quality"], r["n_blocks"], len(r["text"])))
+            yield pd.DataFrame(rows, columns=[
+                "url", "warc_ts", "host", "status", "lang_detected",
+                "quality", "n_blocks", "text_len",
+            ])
+
+    return df.select("url", "warc_ts", "host", "html", "lang").mapInPandas(
+        batch, schema=schema
+    )
+
+
+def windowed_quality_metrics(extracted: DataFrame,
+                             window: str = "10 minutes",
+                             watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked event-time windows of extraction quality (A12 analogue
+    for the streaming path; late rows beyond the watermark are dropped)."""
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("quality"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "quality", "n_docs", "n_chars",
+        )
+    )
