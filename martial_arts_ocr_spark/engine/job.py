@@ -124,6 +124,21 @@ def extract_batch(iterator):
                  d["caption"], d["confidence"], d["reading_order"])
                 for d in row["figures"]
             ]
+            c = row.pop("cleaning")
+            row["cleaning"] = (
+                c["original_chars"], c["cleaned_chars"], c["chars_removed"],
+                c["words_before"], c["words_after"], c["compression_ratio"],
+            )
+            ly = row.pop("layout")
+            row["layout"] = (
+                ly["n_blocks_total"], ly["n_accepted"], ly["n_figure_blocks"],
+                ly["content_coverage"], ly["figure_coverage"],
+                ly["chrome_coverage"],
+            )
+            row["language_segments"] = [
+                (d["lang"], d["start"], d["end"])
+                for d in row["language_segments"]
+            ]
             out.append(tuple(row[c] for c in _OUT_COLS))
         yield pd.DataFrame(out, columns=_OUT_COLS)
 

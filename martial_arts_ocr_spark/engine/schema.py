@@ -61,6 +61,30 @@ STATS_T = T.StructType([
     T.StructField("reading_time_min", T.DoubleType(), True),
 ])
 
+CLEANING_T = T.StructType([
+    T.StructField("original_chars", T.IntegerType(), True),
+    T.StructField("cleaned_chars", T.IntegerType(), True),
+    T.StructField("chars_removed", T.IntegerType(), True),
+    T.StructField("words_before", T.IntegerType(), True),
+    T.StructField("words_after", T.IntegerType(), True),
+    T.StructField("compression_ratio", T.DoubleType(), True),
+])
+
+LAYOUT_T = T.StructType([
+    T.StructField("n_blocks_total", T.IntegerType(), True),
+    T.StructField("n_accepted", T.IntegerType(), True),
+    T.StructField("n_figure_blocks", T.IntegerType(), True),
+    T.StructField("content_coverage", T.DoubleType(), True),
+    T.StructField("figure_coverage", T.DoubleType(), True),
+    T.StructField("chrome_coverage", T.DoubleType(), True),
+])
+
+LANG_SEGMENT_T = T.StructType([
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("start", T.IntegerType(), True),
+    T.StructField("end", T.IntegerType(), True),
+])
+
 EXTRACTED_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("host", T.StringType(), True),
@@ -84,6 +108,9 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("macron_candidates", T.ArrayType(MACRON_T), True),
     T.StructField("figures", T.ArrayType(FIGURE_T), True),
     T.StructField("stats", STATS_T, True),
+    T.StructField("cleaning", CLEANING_T, True),
+    T.StructField("layout", LAYOUT_T, True),
+    T.StructField("language_segments", T.ArrayType(LANG_SEGMENT_T), True),
 ])
 
 METRICS_SCHEMA = T.StructType([

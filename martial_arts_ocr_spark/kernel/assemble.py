@@ -68,6 +68,41 @@ def assemble_text(decisions: list[BlockDecision]) -> tuple[str, bool]:
     return "".join(parts), uncertain
 
 
+def cleaning_stats(original: str, cleaned: str) -> dict:
+    """A9 (utils/text/text_utils.py:48-71,108-142): before/after sizes and
+    compression ratio of the cleanup chain."""
+    wb, wa = len(original.split()), len(cleaned.split())
+    return {
+        "original_chars": len(original),
+        "cleaned_chars": len(cleaned),
+        "chars_removed": len(original) - len(cleaned),
+        "words_before": wb,
+        "words_after": wa,
+        "compression_ratio": round(len(cleaned) / len(original), 6)
+        if original else 1.0,
+    }
+
+
+def layout_stats(decisions) -> dict:
+    """A11 (utils/image/layout/analyzer.py:367-402): block counts and
+    coverage fractions — the char-span analogue of page-area coverage."""
+    total = sum(d.block.n_chars for d in decisions)
+    acc = sum(d.block.n_chars for d in decisions if d.accept)
+    fig = sum(d.block.n_chars for d in decisions if d.block.is_figure)
+    chrome = sum(
+        d.block.n_chars for d in decisions
+        if d.block.in_chrome_tag or d.block.chrome_class
+    )
+    return {
+        "n_blocks_total": len(decisions),
+        "n_accepted": sum(1 for d in decisions if d.accept),
+        "n_figure_blocks": sum(1 for d in decisions if d.block.is_figure),
+        "content_coverage": round(acc / total, 6) if total else 0.0,
+        "figure_coverage": round(fig / total, 6) if total else 0.0,
+        "chrome_coverage": round(chrome / total, 6) if total else 0.0,
+    }
+
+
 def text_statistics(text: str) -> dict:
     """A6 (text_utils.py:392-427): chars/words/lines/sentences/paragraphs +
     avg word length + reading time (200 wpm, reference constant)."""

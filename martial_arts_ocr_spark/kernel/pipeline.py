@@ -57,6 +57,9 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         "macron_candidates": [],
         "figures": [],
         "stats": assemble.text_statistics(""),
+        "cleaning": assemble.cleaning_stats("", ""),
+        "layout": assemble.layout_stats([]),
+        "language_segments": [],
     }
     try:
         if not html:
@@ -97,6 +100,8 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
 
         raw_text, uncertain = assemble.assemble_text(decisions)
         text = cleanup.clean_text(raw_text)
+        row["cleaning"] = assemble.cleaning_stats(raw_text, text)   # A9
+        row["layout"] = assemble.layout_stats(decisions)            # A11
 
         row["n_blocks"] = sum(1 for d in decisions if d.accept)
         row["n_rejected"] = sum(1 for d in decisions if not d.accept)
@@ -115,6 +120,7 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
 
         # language / script path (P7 gate: skip unless Japanese present)
         comp = script.language_composition(text)
+        row["language_segments"] = script.language_segments(text)   # L12
         row["ja_ratio"] = comp["ja_ratio"]
         row["is_mixed"] = comp["is_mixed"]
         row["lang_detected"] = comp["dominant"]

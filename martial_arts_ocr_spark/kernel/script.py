@@ -70,6 +70,28 @@ def japanese_segments(text: str) -> list[ScriptSegment]:
     ]
 
 
+def language_segments(text: str) -> list[dict]:
+    """L12 (utils/text/text_utils.py:222-295): ja runs split the text into
+    alternating en/ja spans; non-ja spans are labeled by their own content
+    ('en' if any Latin letters, else 'other'). Spans cover the whole text.
+    """
+    segs: list[dict] = []
+    pos = 0
+    for m in _JA_RUN_RE.finditer(text):
+        if m.start() > pos:
+            chunk = text[pos:m.start()]
+            if chunk.strip():
+                lang = "en" if _EN_RE.search(chunk) else "other"
+                segs.append({"lang": lang, "start": pos, "end": m.start()})
+        segs.append({"lang": "ja", "start": m.start(), "end": m.end()})
+        pos = m.end()
+    if pos < len(text) and text[pos:].strip():
+        chunk = text[pos:]
+        lang = "en" if _EN_RE.search(chunk) else "other"
+        segs.append({"lang": lang, "start": pos, "end": len(text)})
+    return segs
+
+
 def language_composition(text: str) -> dict:
     """A7 (japanese/processor.py:1069-1097): char-class ratios + dominance.
 
