@@ -122,6 +122,16 @@ def main() -> None:
         from martial_arts_ocr_spark.engine.scaling_bench import run_scaling
 
         result["scaling"] = run_scaling()
+    else:
+        # last measured numbers (see BASELINE.md "Measured" for provenance);
+        # re-measure live with SPARK_GRAFT_SCALING=1
+        result["scaling_recorded"] = {
+            "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
+                      "best-of-3 (BASELINE.md)",
+            "lo_docs_per_sec": 964.6,
+            "hi_docs_per_sec": 3272.6,
+            "efficiency": 0.848,
+        }
 
     print(json.dumps(result))
 
