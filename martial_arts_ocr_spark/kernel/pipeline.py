@@ -28,6 +28,10 @@ from .html_blocks import segment_blocks
 # <5 words → needs the heavy path / marked low quality)
 MIN_DOC_CHARS = 20
 MIN_DOC_WORDS = 5
+# truncation guard (japanese/processor.py:322-327: inputs >100k chars are
+# truncated with a flag — DoS bound on per-doc work); web pages are larger,
+# so the cap is 2 MiB of html bytes
+MAX_HTML_BYTES = 2 * 1024 * 1024
 # P3 thresholds (processor.py:248-263: ≤2 regions or <20% coverage)
 FALLBACK_MIN_BLOCKS = 2
 FALLBACK_MIN_COVERAGE = 0.20
@@ -66,6 +70,9 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
             row["status"] = "failed"
             row["error"] = "empty_html"
             return row
+        if len(html) > MAX_HTML_BYTES:
+            html = html[:MAX_HTML_BYTES]
+            row["error"] = "truncated_input"       # flagged, not failed
         html_text, enc = decode_html(html)
         row["encoding"] = enc
         blocks = segment_blocks(html_text)

@@ -141,8 +141,43 @@ def q_extract_macron_candidates(spark, sf_dir):
     ).orderBy("url", "start", "candidate")
 
 
+def q_host_profiles(spark, sf_dir):
+    """Per-host extraction profile via groupBy().applyInPandas — the
+    grouped-map UDF surface (SURVEY §2.13): median/p90 per group need
+    within-group vectorized computation, not just built-in aggs.
+    Rows-only (percentile semantics differ across engines)."""
+    import pandas as pd
+
+    from ..fixtures.gen_pages import pages_pandas
+
+    pages = with_host(spark.createDataFrame(pages_pandas(200)))
+    out = run_extract(pages, num_partitions=8)
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["text"].str.len()
+        return pd.DataFrame({
+            "host": [pdf["host"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "median_len": [float(lens.median())],
+            "p90_len": [float(lens.quantile(0.9, interpolation="lower"))],
+            "n_ja": [int((pdf["ja_ratio"] > 0).sum())],
+        })
+
+    return (
+        out.select("host", "text", "ja_ratio")
+        .groupBy("host")
+        .applyInPandas(
+            profile,
+            "host string, n_docs long, median_len double, p90_len double, "
+            "n_ja long",
+        )
+        .orderBy("host")
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
+    "host_profiles": q_host_profiles,
     "extract_roundtrip": q_extract_roundtrip,
     "extract_ja_segments": q_extract_ja_segments,
     "extract_figures": q_extract_figures,
