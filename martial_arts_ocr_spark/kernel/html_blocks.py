@@ -51,6 +51,8 @@ CHROME_CLASS_RE = re.compile(
 
 _WS_RE = re.compile(r"\s+")
 _SPACE_RE = re.compile(r"[ \t\r\f\v]+")
+_FIGURE_TAGS = frozenset({"figure", "table", "svg"})
+_VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 
 
 @dataclass
@@ -162,19 +164,29 @@ class _BlockParser(HTMLParser):
             return
         if self.skip_depth:
             return
-        attrd = dict(attrs)
-        classes = f"{attrd.get('class', '') or ''} {attrd.get('id', '') or ''}"
-        chrome_cls = bool(CHROME_CLASS_RE.search(classes)) or (
-            self.stack[-1].chrome_class if self.stack else False
+        parent = self.stack[-1] if self.stack else None
+        cls = idv = alt = None
+        if attrs:
+            for k, v in attrs:
+                if k == "class":
+                    cls = v
+                elif k == "id":
+                    idv = v
+                elif k == "alt":
+                    alt = v
+        chrome_cls = parent.chrome_class if parent else False
+        if not chrome_cls and (cls or idv):
+            chrome_cls = bool(
+                CHROME_CLASS_RE.search(f"{cls or ''} {idv or ''}")
+            )
+        chrome_tag = (parent.chrome_tag if parent else False) or (
+            tag in CHROME_TAGS
         )
-        chrome_tag = tag in CHROME_TAGS or (
-            self.stack[-1].chrome_tag if self.stack else False
-        )
-        figure = tag in {"figure", "table", "svg"} or (
-            self.stack[-1].figure if self.stack else False
+        figure = (parent.figure if parent else False) or (
+            tag in _FIGURE_TAGS
         )
         path = self._path(tag)
-        sig = f"{tag}.{(attrd.get('class') or '').strip()}"
+        sig = f"{tag}.{(cls or '').strip()}"
         frame = _Frame(tag, path, sig, chrome_tag, chrome_cls, figure)
         self.stack.append(frame)
 
@@ -183,7 +195,7 @@ class _BlockParser(HTMLParser):
         if tag == "br" and self.cur is not None:
             self.cur.text += "\n"
         if tag == "img":
-            alt = (attrd.get("alt") or "").strip()
+            alt = (alt or "").strip()
             if alt and self.figure_stack:
                 self.figure_stack[-1].caption = (
                     self.figure_stack[-1].caption or alt
@@ -193,14 +205,12 @@ class _BlockParser(HTMLParser):
             if tag == "figure":
                 self.figure_stack.append(self.cur)
         # void elements never get an endtag from some generators; pop now
-        if tag in {"br", "img", "hr", "meta", "link", "input"}:
+        if tag in _VOID_TAGS:
             self.stack.pop()
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
-        if tag not in {"br", "img", "hr", "meta", "link", "input"} and (
-            tag not in SKIP_SUBTREE
-        ):
+        if tag not in _VOID_TAGS and tag not in SKIP_SUBTREE:
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
