@@ -95,6 +95,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("n_blocks", T.IntegerType(), True),
     T.StructField("n_rejected", T.IntegerType(), True),
     T.StructField("n_review", T.IntegerType(), True),
+    T.StructField("n_refined", T.IntegerType(), True),
     T.StructField("decision_source", T.StringType(), True),
     T.StructField("reading_order_uncertain", T.BooleanType(), True),
     T.StructField("lang_detected", T.StringType(), True),

@@ -130,6 +130,9 @@ def make_html(i: int, seed: int = SEED) -> dict:
                         p = p[:mid] + "-<br>" + p[mid:]
             if rng.random() < 0.15:
                 p += "<br>" + "&#9632; noise line"
+            if rng.random() < 0.2:
+                # inline share chain inside the paragraph (M4 refine target)
+                p += " Share | Tweet | Email"
             parts.append(f"<p>{p}</p>")
             body_texts.append(p)
     # sibling card grid (panel-row target)

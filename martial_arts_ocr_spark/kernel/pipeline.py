@@ -19,8 +19,8 @@ full-page OCR when region OCR looks degenerate.
 
 from __future__ import annotations
 
-from . import (assemble, cleanup, consensus, density, domtree, regions,
-               romanize, script, terms)
+from . import (assemble, cleanup, consensus, density, domtree, refine,
+               regions, romanize, script, terms)
 from .encoding import decode_html
 from .html_blocks import segment_blocks
 
@@ -48,6 +48,7 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         "n_blocks": 0,
         "n_rejected": 0,
         "n_review": 0,
+        "n_refined": 0,
         "decision_source": "consensus",
         "reading_order_uncertain": False,
         "lang_detected": "unknown",
@@ -104,6 +105,17 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
             if s_fall > s_cons:
                 decisions = fallback
                 row["decision_source"] = "fullpage"
+
+        # M4 refinement: strip inline boilerplate tails from accepted blocks
+        n_refined = 0
+        for d in decisions:
+            if d.accept and d.block.n_chars > 40:
+                new_text, was_refined = refine.refine_text(d.block.text)
+                if was_refined and new_text:
+                    d.block.text = new_text
+                    d.review = True
+                    n_refined += 1
+        row["n_refined"] = n_refined
 
         raw_text, uncertain = assemble.assemble_text(decisions)
         text = cleanup.clean_text(raw_text)
