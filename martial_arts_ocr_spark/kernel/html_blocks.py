@@ -51,6 +51,7 @@ CHROME_CLASS_RE = re.compile(
 
 _WS_RE = re.compile(r"\s+")
 _SPACE_RE = re.compile(r"[ \t\r\f\v]+")
+_MULTI_WS_RE = re.compile(r"[\t\r\f\v]|  ")
 _FIGURE_TAGS = frozenset({"figure", "table", "svg"})
 _VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 
@@ -130,7 +131,11 @@ class _BlockParser(HTMLParser):
         if self.cur is None:
             return
         raw = self.cur.text
-        lines = [_SPACE_RE.sub(" ", ln).strip() for ln in raw.split("\n")]
+        lines = [
+            _SPACE_RE.sub(" ", ln).strip() if _MULTI_WS_RE.search(ln)
+            else ln.strip()
+            for ln in raw.split("\n")
+        ]
         norm = "\n".join(ln for ln in lines if ln).strip()
         if norm:
             # recompute anchor chars against the normalized text proportionally
@@ -257,14 +262,31 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def segment_blocks(html_text: str) -> list[Block]:
-    """Parse page text into document-ordered candidate blocks."""
+import os as _os
+
+_DEFAULT_ENGINE = _os.environ.get("SPARK_GRAFT_HTML_ENGINE", "fast")
+
+
+def segment_blocks(html_text: str, engine: str | None = None) -> list[Block]:
+    """Parse page text into document-ordered candidate blocks.
+
+    ``engine``: "fast" (regex tokenizer, kernel/fast_html.py — default) or
+    "stdlib" (html.parser). Both drive the same handlers; equivalence is
+    enforced by tests/test_fast_html_equivalence.py.
+    """
+    engine = engine or _DEFAULT_ENGINE
     p = _BlockParser()
     try:
-        p.feed(html_text)
-        p.close()
+        if engine == "fast":
+            from .fast_html import tokenize_into
+
+            tokenize_into(p, html_text)
+            p._flush()
+        else:
+            p.feed(html_text)
+            p.close()
     except Exception:
-        # tag-soup repair analogue (reference deskew N3): html.parser is
+        # tag-soup repair analogue (reference deskew N3): parsers are
         # lenient, but guard hard failures — salvage what was parsed.
         p._flush()
     return p.blocks

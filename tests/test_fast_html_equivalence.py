@@ -1,0 +1,60 @@
+"""A/B gate: the fast tokenizer (kernel/fast_html.py) must produce
+block-for-block identical output to the stdlib html.parser path on
+fixtures and adversarial soups — the condition for it being the default."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from martial_arts_ocr_spark.fixtures.gen_pages import generate_pages
+from martial_arts_ocr_spark.kernel.encoding import decode_html
+from martial_arts_ocr_spark.kernel.html_blocks import segment_blocks
+
+
+def _sig(blocks):
+    return [
+        (b.tag, b.node_path, b.start, b.text, b.n_anchor_chars,
+         b.in_chrome_tag, b.chrome_class, b.is_figure, b.caption,
+         b.parent_path, b.sibling_sig, b.is_heading, b.is_list_item)
+        for b in blocks
+    ]
+
+
+def _both(text):
+    return (_sig(segment_blocks(text, engine="stdlib")),
+            _sig(segment_blocks(text, engine="fast")))
+
+
+def test_fixture_pages_identical():
+    for r in generate_pages(120):
+        text, _ = decode_html(r["html"])
+        a, b = _both(text)
+        assert a == b, r["url"]
+
+
+_FRAGS = [
+    "<p>", "</p>", "<div class='nav x'>", "</div>", "<a href='q'>", "</a>",
+    "<br>", "<br/>", "<script>var a='<p>no</p>';</script>",
+    "<style>p{}</style>", "text &amp; more", "café &eacute;",
+    "<figure><img alt='pic'/>", "</figcaption>",
+    "<figcaption>cap</figcaption></figure>", "<!-- c -->", "<![CDATA[x]]>",
+    "<!DOCTYPE html>", "<ul><li>item", "</ul>", "a < b", "<td>cell</td>",
+    "<h2>Head</h2>", "5 < 6 > 4", "<P>UPPER</P>", "<input value='v'>",
+    "<weird-tag>w</weird-tag>", "&#9632;", "&unknown;", "<script>open",
+]
+
+
+def test_seeded_soups_identical():
+    rng = random.Random(7)
+    for _ in range(300):
+        s = "".join(rng.choice(_FRAGS) for _ in range(rng.randint(1, 25)))
+        a, b = _both(s)
+        assert a == b, repr(s[:200])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(_FRAGS) | st.text(max_size=30), max_size=30)
+       .map("".join))
+def test_hypothesis_soups_identical(s):
+    a, b = _both(s)
+    assert a == b
