@@ -9,9 +9,10 @@ JSON line::
      "queries": {...}, "sf": ..., "extraction": {...}}
 
 The extraction block reports the north-star number (docs/sec through the
-full kernel+mapInPandas pipeline) plus the two-parallelism scaling stand-in
-when ``SPARK_GRAFT_SCALING=1``: the same extraction job at local[8] and
-local[32] on identical input, with efficiency = (T8/T32)/(32/8).
+full kernel+mapInPandas pipeline). With ``SPARK_GRAFT_SCALING=1`` the
+two-cluster-size measurement runs live (N=1×2 vs 4N=4×2 executor JVMs via
+local-cluster, engine/scaling_bench.py); otherwise the last recorded
+numbers are included, labeled, from BASELINE.md.
 """
 
 from __future__ import annotations
@@ -78,7 +79,10 @@ def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
     pages = with_host(spark.createDataFrame(pdf))
     pages = pages.persist()
     pages.count()                       # materialize input outside the clock
-    run_extract(pages.limit(64), num_partitions=parts).count()   # warmup
+    # full-size warmup: limit(n) would collapse to ONE partition and leave
+    # all other Python workers cold inside the timed run
+    run_extract(pages, num_partitions=parts,
+                hot_hosts=["hot.example.com"], salt_buckets=parts).count()
     t0 = time.perf_counter()
     out = run_extract(pages, num_partitions=parts,
                       hot_hosts=["hot.example.com"], salt_buckets=parts)
@@ -128,9 +132,9 @@ def main() -> None:
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
                       "best-of-3 (BASELINE.md)",
-            "lo_docs_per_sec": 964.6,
-            "hi_docs_per_sec": 3272.6,
-            "efficiency": 0.848,
+            "lo_docs_per_sec": 861.6,
+            "hi_docs_per_sec": 2838.1,
+            "efficiency": 0.824,
         }
 
     print(json.dumps(result))
