@@ -67,6 +67,46 @@ def extract_stream(pages: DataFrame) -> DataFrame:
     )
 
 
+def host_running_totals(extracted: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-host totals (docs, chars, failures) maintained across micro-batches
+    — the streaming analogue of the per-partition metrics table (A12).
+
+    State = (n_docs, n_chars, n_failed) per host; each micro-batch emits
+    the updated running totals for hosts it touched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("host string, n_docs long, n_chars long, n_failed long")
+    state_schema = "n_docs long, n_chars long, n_failed long"
+
+    def update(key, pdfs, state: GroupState):
+        docs = chars = failed = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            chars += int(pdf["text_len"].sum())
+            failed += int((pdf["status"] != "completed").sum())
+        if state.exists:
+            p_docs, p_chars, p_failed = state.get
+            docs += p_docs
+            chars += p_chars
+            failed += p_failed
+        state.update((docs, chars, failed))
+        yield pd.DataFrame({
+            "host": [key[0]], "n_docs": [docs], "n_chars": [chars],
+            "n_failed": [failed],
+        })
+
+    return (
+        extracted.groupBy("host")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_quality_metrics(extracted: DataFrame,
                              window: str = "10 minutes",
                              watermark: str = "30 minutes") -> DataFrame:
