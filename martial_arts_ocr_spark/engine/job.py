@@ -35,16 +35,29 @@ def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def salted_key_col(
-    hot_hosts: list[str] | None = None, salt_buckets: int = 8
+    hot_hosts: list[str] | dict[str, int] | None = None,
+    salt_buckets: int = 8,
 ):
     """Column expression: host salted with a url-hash suffix for hot hosts.
 
-    Shared by the partitioning step and the resume bucketing so both always
-    derive identical keys from (host, url).
+    ``hot_hosts`` is either a list (every hot host gets ``salt_buckets``
+    sub-keys) or a dict host→buckets (proportional salting, see
+    ``proportional_salt_buckets``). Shared by the partitioning step and the
+    resume bucketing so both always derive identical keys from (host, url).
     """
     host = F.col("host")
     if not hot_hosts:
         return host
+    if isinstance(hot_hosts, dict):
+        expr = None
+        for h, k in sorted(hot_hosts.items()):
+            salted = F.concat(
+                host, F.lit("#"),
+                F.pmod(F.xxhash64(F.col("url")), F.lit(int(k))).cast("string"),
+            )
+            expr = (F.when(host == h, salted) if expr is None
+                    else expr.when(host == h, salted))
+        return expr.otherwise(host)
     salted = F.concat(
         host, F.lit("#"),
         F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("string"),
@@ -54,7 +67,7 @@ def salted_key_col(
 
 def with_salted_key(
     df: DataFrame,
-    hot_hosts: list[str] | None = None,
+    hot_hosts: list[str] | dict[str, int] | None = None,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Partition key = host, salted for known-hot hosts (SURVEY §4.3).
@@ -72,19 +85,43 @@ def detect_hot_hosts(
 
     Deterministic seed so plans are reproducible run-to-run.
     """
+    return sorted(detect_hot_host_shares(df, threshold, sample_fraction))
+
+
+def detect_hot_host_shares(
+    df: DataFrame, threshold: float = 0.05, sample_fraction: float = 0.01
+) -> dict[str, float]:
+    """Hot hosts with their sampled row share (for proportional salting)."""
     sample = df.select("host")
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=42)
     total = sample.count()
     if total == 0:
-        return []
+        return {}
     rows = (
         sample.groupBy("host").count()
         .where(F.col("count") > threshold * total)
         .orderBy("host")
         .collect()
     )
-    return [r["host"] for r in rows]
+    return {r["host"]: r["count"] / total for r in rows}
+
+
+def proportional_salt_buckets(
+    shares: dict[str, float], target_share: float
+) -> dict[str, int]:
+    """Bucket count per hot host so each salted key carries ≈target_share
+    of rows (e.g. 1/(4·cores)): buckets = ceil(share / target_share).
+
+    The fixed-buckets scheme under-salts very hot hosts (their keys stay
+    k× tail size) and over-salts mildly hot ones; proportional salting
+    equalizes key sizes, which is what bounds the straggler partition.
+    """
+    import math
+
+    return {
+        h: max(1, math.ceil(s / target_share)) for h, s in sorted(shares.items())
+    }
 
 
 def extract_batch(iterator):
@@ -146,7 +183,7 @@ def extract_batch(iterator):
 def run_extract(
     pages: DataFrame,
     num_partitions: int | None = None,
-    hot_hosts: list[str] | None = None,
+    hot_hosts: list[str] | dict[str, int] | None = None,
     salt_buckets: int = 8,
     pre_partitioned: bool = False,
 ) -> DataFrame:

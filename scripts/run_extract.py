@@ -38,7 +38,11 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    from martial_arts_ocr_spark.engine.job import detect_hot_hosts, with_host
+    from martial_arts_ocr_spark.engine.job import (
+        detect_hot_host_shares,
+        proportional_salt_buckets,
+        with_host,
+    )
     from martial_arts_ocr_spark.engine.resume import run_checkpointed
     from martial_arts_ocr_spark.engine.session import build_session
 
@@ -55,10 +59,12 @@ def main() -> int:
     else:
         ap.error("one of --pages / --n-synthetic is required")
 
-    hot = detect_hot_hosts(with_host(pages),
-                           threshold=args.hot_hosts_threshold,
-                           sample_fraction=0.1)
-    print(f"hot hosts: {hot}", file=sys.stderr)
+    shares = detect_hot_host_shares(with_host(pages),
+                                    threshold=args.hot_hosts_threshold,
+                                    sample_fraction=0.1)
+    cores = spark.sparkContext.defaultParallelism
+    hot = proportional_salt_buckets(shares, target_share=1.0 / (4 * cores))
+    print(f"hot hosts (buckets): {hot}", file=sys.stderr)
     processed = run_checkpointed(
         spark, pages, args.warehouse, args.run_id,
         n_buckets=args.buckets, batch_size=args.batch_size, hot_hosts=hot,
