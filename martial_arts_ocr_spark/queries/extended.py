@@ -281,8 +281,39 @@ FROM part GROUP BY 1 ORDER BY 1
 """
 
 
+# --- sliding event-time windows (streaming-shaped batch op) --------------------
+
+def q_events_sliding_windows(spark, sf_dir):
+    """10-minute windows sliding every 5 minutes (each event in 2 windows)
+    — F.window with slide; oracle = union of the two tumbling grids."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+ORACLE_SLIDING = """
+WITH assigned AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP)
+           AS window_start, value FROM events
+  UNION ALL
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)) AS TIMESTAMP)
+           AS window_start, value FROM events
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "argmax_order": q_argmax_order,
+    "events_sliding_windows": q_events_sliding_windows,
     "events_gap_flags": q_events_gap_flags,
     "whitespace_normalize": q_whitespace_normalize,
     "sentence_counts": q_sentence_counts,
@@ -296,6 +327,7 @@ QUERIES = {
 
 ORACLES = {
     "argmax_order": ORACLE_ARGMAX,
+    "events_sliding_windows": ORACLE_SLIDING,
     "events_gap_flags": ORACLE_GAP_FLAGS,
     "whitespace_normalize": ORACLE_WS_NORM,
     "sentence_counts": ORACLE_SENTENCES,

@@ -264,8 +264,39 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    """Full near-dup pipeline: MinHash bands → candidate pairs → exact
+    token-Jaccard verification ≥ 0.5. The 100 TB shape: the expensive
+    exact check runs ONLY on sketch candidates, never all-pairs.
+    Rows-only (MinHash not SQL-expressible)."""
+    cands = q_minhash_bands(spark, sf_dir)
+    pairs = (
+        cands.select(F.explode(F.col("docs")).alias("doc_a"), "docs")
+        .select("doc_a", F.explode(F.col("docs")).alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb"))
+        / F.size(F.array_union("ta", "tb")), 5,
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "ann_cosine_top10": q_ann_cosine_top10,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_norms": q_embedding_norms,
     "lsh_bucket_candidates": q_lsh_bucket_candidates,
     "minhash_bands": q_minhash_bands,
