@@ -178,6 +178,25 @@ def pages_pandas(n: int, seed: int = SEED):
     return pd.DataFrame(generate_pages(n, seed))
 
 
+def pages_spark(spark, n: int, seed: int = SEED, partitions: int = 32):
+    """Distributed page synthesis: every row generated on executors from
+    its index (make_html is pure in (i, seed)), so corpus size is bounded
+    by cluster capacity, not driver memory — the path for large corpora."""
+    import pandas as pd
+
+    from ..engine.schema import PAGES_SCHEMA
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = [make_html(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n).repartition(partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
 def write_pages_parquet(path: str, n: int, seed: int = SEED) -> None:
     """Write the pages table as parquet (for bench / integration tests)."""
     import pyarrow as pa
