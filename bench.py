@@ -70,13 +70,12 @@ def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
     """
     from martial_arts_ocr_spark.engine.job import run_extract, with_host
     from martial_arts_ocr_spark.engine.session import build_session
-    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_spark
 
     spark = build_session(master=master, shuffle_partitions=parts,
                           app_name=f"bench-extract-{master}")
     spark.sparkContext.setLogLevel("ERROR")
-    pdf = pages_pandas(n_pages)
-    pages = with_host(spark.createDataFrame(pdf))
+    pages = with_host(pages_spark(spark, n_pages, partitions=parts))
     pages = pages.persist()
     pages.count()                       # materialize input outside the clock
     # full-size warmup: limit(n) would collapse to ONE partition and leave

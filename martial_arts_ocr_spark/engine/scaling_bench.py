@@ -63,12 +63,12 @@ def prepare_pages(pages_path: str, n_docs: int, n_files: int = 32) -> None:
     ):
         return
     from .session import build_session
-    from ..fixtures.gen_pages import pages_pandas
+    from ..fixtures.gen_pages import pages_spark
 
     spark = build_session(master="local[16]", app_name="scaling-prep")
     spark.sparkContext.setLogLevel("ERROR")
-    (spark.createDataFrame(pages_pandas(n_docs))
-     .repartition(n_files).write.mode("overwrite").parquet(pages_path))
+    (pages_spark(spark, n_docs, partitions=n_files)
+     .write.mode("overwrite").parquet(pages_path))
     spark.stop()
 
 
