@@ -105,6 +105,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("quality", T.StringType(), True),
     T.StructField("segments", T.ArrayType(SEGMENT_T), True),
     T.StructField("romaji", T.StringType(), True),
+    T.StructField("translation", T.StringType(), True),
     T.StructField("term_hits", T.ArrayType(TERM_HIT_T), True),
     T.StructField("macron_candidates", T.ArrayType(MACRON_T), True),
     T.StructField("figures", T.ArrayType(FIGURE_T), True),

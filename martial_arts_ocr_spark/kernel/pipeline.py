@@ -58,6 +58,7 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         "quality": "empty",
         "segments": [],
         "romaji": None,
+        "translation": None,
         "term_hits": [],
         "macron_candidates": [],
         "figures": [],
@@ -152,6 +153,9 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
                 for s in segs
             ]
             row["romaji"] = romanize.overall_romaji([s.text for s in segs])
+            row["translation"] = terms.overall_translation(
+                [s.text for s in segs]
+            )
             row["term_hits"] = [
                 {"term": h.term, "romaji": h.romaji,
                  "translation": h.translation, "category": h.category,

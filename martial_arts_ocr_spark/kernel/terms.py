@@ -106,6 +106,19 @@ class TermHit:
     pos: int
 
 
+def overall_translation(segment_texts: list[str]) -> str:
+    """L7/L8 (japanese/processor.py:860-1008, 1041-1067): per-segment
+    dictionary translation joined with spaces; untranslated segments keep
+    their original text (the reference's offline degradation — Argos is
+    absent there and here). A segment translates only when it is exactly a
+    dictionary term."""
+    parts = []
+    for t in segment_texts:
+        info = TERM_DICT.get(t)
+        parts.append(info[1] if info else t)
+    return " ".join(p for p in parts if p)
+
+
 def extract_terms(text: str) -> list[TermHit]:
     """Longest-match-first dictionary scan; all non-overlapping occurrences
     with positions (J4, japanese/processor.py:1099-1129)."""

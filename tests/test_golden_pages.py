@@ -37,6 +37,7 @@ def test_golden_byte_identity(rec):
     assert row["text"] == rec["expected_text"]          # byte identity
     assert row["n_blocks"] == rec["expected_blocks"]
     assert row["romaji"] == rec["expected_romaji"]
+    assert row["translation"] == rec["expected_translation"]
     assert row["segments"] == rec["expected_lang_segments"]
     assert [
         {"term": t["term"], "pos": t["pos"]} for t in row["term_hits"]
