@@ -215,7 +215,10 @@ class _BlockParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
-        if tag not in _VOID_TAGS and tag not in SKIP_SUBTREE:
+        # SKIP_SUBTREE start incremented skip_depth; the end call balances it.
+        # Without this, a self-closing <iframe/> / <script/> silently drops
+        # every block after it.
+        if tag not in _VOID_TAGS:
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag):

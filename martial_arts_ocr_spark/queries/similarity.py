@@ -98,9 +98,22 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
-# --- LSH-bucketed cosine neighbors (scale path; rows-only check) -----------------
+# --- LSH-bucketed cosine neighbors (scale path) -----------------------------------
 
 _LSH_PLANES = 16
+
+
+def _lsh_planes(dim: int):
+    """Deterministic hyperplanes for a given embedding width.
+
+    The width is derived from the data (round-1 hardcoded 64 and crashed on
+    any other table); the fixed seed keeps the matrix identical across
+    executors, runs, and the baked-literal DuckDB oracle.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((_LSH_PLANES, dim))
 
 
 def _lsh_signature_udf():
@@ -108,11 +121,13 @@ def _lsh_signature_udf():
 
     @pandas_udf(T.IntegerType())
     def sig(emb: pd.Series) -> pd.Series:
-        # deterministic hyperplanes from a fixed-seed generator
-        rng = np.random.RandomState(42)
-        mat = rng.standard_normal((_LSH_PLANES, 64))
+        if emb.empty:
+            return pd.Series([], dtype="int32")
         arrs = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        bits = (arrs @ mat.T) > 0
+        mat = _lsh_planes(arrs.shape[1])
+        # round before the sign test so the DuckDB oracle (sequential
+        # list_dot_product sum order) lands on the same side of zero
+        bits = np.round(arrs @ mat.T, 7) > 0
         out = np.zeros(len(arrs), dtype=np.int32)
         for i in range(_LSH_PLANES):
             out = (out << 1) | bits[:, i].astype(np.int32)
@@ -149,6 +164,34 @@ def q_lsh_bucket_candidates(spark, sf_dir):
     return pairs
 
 
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """DuckDB oracle with the hyperplane matrix baked in as literals.
+
+    The test tables' embeddings are 64-wide; the oracle only runs there.
+    Both sides round the dot product to 7 decimals before the sign test,
+    so summation-order rounding cannot flip a bucket bit.
+    """
+    mat = _lsh_planes(dim)
+    terms = []
+    for i in range(_LSH_PLANES):
+        vec = "[" + ", ".join(repr(float(x)) for x in mat[i]) + "]"
+        weight = 1 << (_LSH_PLANES - 1 - i)
+        terms.append(
+            f"(CASE WHEN round(CAST(list_dot_product(embedding, {vec}) "
+            f"AS DOUBLE), 7) > 0 THEN {weight} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, label, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       (a.label = b.label) AS same_label
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY vec_a, vec_b
+"""
+
+
 # --- MinHash near-dup candidates over documents (rows-only) ----------------------
 
 _MINHASH_PERMS = 32
@@ -166,43 +209,77 @@ def _stable_hash64(s: str) -> int:
     ) & 0x7FFFFFFFFFFFFFFF
 
 
-def _minhash_udf():
+def _md5_batch64(strings):
+    """md5-based 63-bit hashes for a sequence of strings (vocab-sized loop;
+    every repeated string in the batch is hashed exactly once upstream)."""
+    import hashlib
+
     import numpy as np
 
+    out = np.empty(len(strings), dtype=np.int64)
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    for i, s in enumerate(strings):
+        out[i] = fb(md5(s.encode("utf-8")).digest()[:8], "little") \
+            & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def minhash_signatures_batch(text: pd.Series) -> pd.Series:
+    """Vectorized MinHash: batch-level shingle dedup (factorize → md5 once
+    per unique shingle) + per-permutation `minimum.reduceat` over the flat
+    shingle array. Bit-identical to the round-1 per-row loop — pinned by
+    tests/test_sketch_golden.py. Duplicate shingles within a doc don't
+    affect the min, so no per-doc set is needed.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    # universal-hash parameters (odd multipliers), 61-bit Mersenne prime;
+    # the a*s multiply intentionally wraps in int64 (same as round 1)
+    P = (1 << 61) - 1
+    a = rng.randint(1, P, size=_MINHASH_PERMS, dtype=np.int64) | 1
+    b = rng.randint(0, P, size=_MINHASH_PERMS, dtype=np.int64)
+
+    shingles: list[str] = []
+    starts = np.empty(len(text), dtype=np.int64)
+    for di, t in enumerate(text):
+        starts[di] = len(shingles)
+        toks = t.split()
+        if len(toks) < _SHINGLE:
+            shingles.append(t)
+        else:
+            shingles.extend(
+                " ".join(toks[i:i + _SHINGLE])
+                for i in range(len(toks) - _SHINGLE + 1)
+            )
+    if not shingles:
+        return pd.Series([], dtype=object)
+    codes, uniques = pd.factorize(pd.Series(shingles, dtype=object))
+    flat = _md5_batch64(list(uniques))[codes]
+    sigs = np.empty((len(text), _MINHASH_PERMS), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(_MINHASH_PERMS):
+            vals = (flat * a[j] + b[j]) % P
+            sigs[:, j] = np.minimum.reduceat(vals, starts)
+    return pd.Series([row.tolist() for row in sigs])
+
+
+def _minhash_udf():
     out_t = T.ArrayType(T.LongType())
 
     @pandas_udf(out_t)
     def mh(text: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(42)
-        # universal-hash parameters (odd multipliers), 61-bit Mersenne prime
-        P = (1 << 61) - 1
-        a = rng.randint(1, P, size=_MINHASH_PERMS, dtype=np.int64) | 1
-        b = rng.randint(0, P, size=_MINHASH_PERMS, dtype=np.int64)
-
-        def one(t: str):
-            toks = t.split()
-            if len(toks) < _SHINGLE:
-                shingles = {_stable_hash64(t)}
-            else:
-                shingles = {
-                    _stable_hash64(" ".join(toks[i:i + _SHINGLE]))
-                    for i in range(len(toks) - _SHINGLE + 1)
-                }
-            arr = np.fromiter(shingles, dtype=np.int64)
-            # sig_j = min over shingles of (a_j*s + b_j mod P)
-            vals = (arr[None, :] * a[:, None] + b[:, None]) % P
-            return vals.min(axis=1).tolist()
-
-        return text.apply(one)
+        return minhash_signatures_batch(text)
 
     return mh
 
 
-def q_minhash_bands(spark, sf_dir):
-    """MinHash → banded bucket keys; groups with >1 doc are near-dup
-    candidates. PYTHONHASHSEED must be fixed for cross-run determinism
-    (bench/driver set it); within a run, executors inherit one seed.
-    """
+def _minhash_band_groups(spark, sf_dir):
+    """Internal: candidate groups with the doc list as an array column.
+    Used by the verified-pairs pipeline; NOT registered directly — the
+    driver's canonicalizer cannot sort array-typed columns (the one red
+    row in CORRECTNESS_r01)."""
     d = _docs(spark, sf_dir)
     mh = _minhash_udf()
     sigs = d.select("doc_id", mh(F.col("text")).alias("sig"))
@@ -219,37 +296,71 @@ def q_minhash_bands(spark, sf_dir):
             ])
         ).alias("band", "band_key"),
     )
-    cands = (
+    return (
         bands.groupBy("band", "band_key")
         .agg(F.collect_set("doc_id").alias("docs"),
              F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
         .select("band", F.sort_array("docs").alias("docs"), "n")
-        .orderBy("band", "docs")
     )
-    return cands
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash → banded bucket keys; groups with >1 doc are near-dup
+    candidates. Scalar columns only: the doc list is emitted as a
+    comma-joined string so the driver gate can canonicalize it.
+    """
+    groups = _minhash_band_groups(spark, sf_dir)
+    doc_ids = F.concat_ws(
+        ",", F.transform(F.col("docs"), lambda d: d.cast("string"))
+    )
+    return (
+        groups.select("band", doc_ids.alias("doc_ids"), "n")
+        .orderBy("band", "doc_ids")
+    )
 
 
 # --- SimHash fingerprints (rows-only) --------------------------------------------
 
-def _simhash_udf():
+def simhash_batch(text: pd.Series) -> pd.Series:
+    """Vectorized SimHash: per-doc unique tokens → batch-level vocab md5
+    (each distinct token hashed once per batch) → `np.unpackbits` bit matrix
+    → per-doc `add.reduceat` column sums → sign → repack. Bit-identical to
+    the round-1 per-token/per-bit loop — pinned by tests/test_sketch_golden.py.
+    """
     import numpy as np
 
+    n = len(text)
+    tok_lists = [sorted(set(t.split())) for t in text]
+    counts = np.array([len(l) for l in tok_lists], dtype=np.int64)
+    flat_toks: list[str] = []
+    for l in tok_lists:
+        flat_toks.extend(l)
+    if not flat_toks:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    codes, uniques = pd.factorize(pd.Series(flat_toks, dtype=object))
+    th = _md5_batch64(list(uniques))[codes].astype(np.uint64)
+    # column k of `bits` == (h >> k) & 1 (little-endian byte view + bitorder)
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # sentinel zero row: lets reduceat handle empty docs at the tail
+    bits_x = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
+    sums = np.add.reduceat(bits_x, np.minimum(starts, len(bits)), axis=0)
+    acc = 2 * sums - counts[:, None]       # (+1 per set bit, -1 per clear)
+    acc[counts == 0] = 0                   # mask garbage rows of empty docs
+    out_bits = (acc > 0).astype(np.uint64)
+    packed = (out_bits << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(packed.view(np.int64))
+
+
+def _simhash_udf():
     @pandas_udf(T.LongType())
     def sh(text: pd.Series) -> pd.Series:
-        def one(t: str) -> int:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(t.split()):
-                h = _stable_hash64(tok)
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            out = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    out |= 1 << bit
-            return out - (1 << 64) if out >= (1 << 63) else out
-
-        return text.apply(one)
+        return simhash_batch(text)
 
     return sh
 
@@ -269,7 +380,7 @@ def q_minhash_verified_pairs(spark, sf_dir):
     token-Jaccard verification ≥ 0.5. The 100 TB shape: the expensive
     exact check runs ONLY on sketch candidates, never all-pairs.
     Rows-only (MinHash not SQL-expressible)."""
-    cands = q_minhash_bands(spark, sf_dir)
+    cands = _minhash_band_groups(spark, sf_dir)
     pairs = (
         cands.select(F.explode(F.col("docs")).alias("doc_a"), "docs")
         .select("doc_a", F.explode(F.col("docs")).alias("doc_b"))
@@ -306,5 +417,8 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_top10": ORACLE_ANN,
     "embedding_norms": ORACLE_NORMS,
-    # lsh/minhash/simhash: non-SQL-expressible → rows-only driver check
+    # hyperplane matrix baked into the SQL as literals (fixed seed)
+    "lsh_bucket_candidates": _lsh_oracle_sql(),
+    # minhash/simhash: md5 + wrapping int64 arithmetic not SQL-expressible
+    # → rows-only driver check
 }

@@ -41,6 +41,8 @@ _FRAGS = [
     "<!DOCTYPE html>", "<ul><li>item", "</ul>", "a < b", "<td>cell</td>",
     "<h2>Head</h2>", "5 < 6 > 4", "<P>UPPER</P>", "<input value='v'>",
     "<weird-tag>w</weird-tag>", "&#9632;", "&unknown;", "<script>open",
+    "<iframe/>", "<script/>", "<noscript/>", "<object/>", "<template/>",
+    "<iframe>framed</iframe>", "<style/>",
 ]
 
 

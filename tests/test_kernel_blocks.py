@@ -37,6 +37,17 @@ def test_script_style_subtrees_skipped():
     assert [b.text for b in blocks] == ["real content here"]
 
 
+def test_self_closing_skip_tags_do_not_leak():
+    """Regression: a self-closing <iframe/>/<script/> must not swallow the
+    rest of the document (skip_depth leak in handle_startendtag)."""
+    for frag in ("<iframe/>", "<script/>", "<noscript/>", "<object/>",
+                 "<style/>", "<template/>"):
+        html = f"<body><p>before</p>{frag}<p>after</p></body>"
+        for engine in ("stdlib", "fast"):
+            texts = [b.text for b in segment_blocks(html, engine=engine)]
+            assert texts == ["before", "after"], (frag, engine, texts)
+
+
 def test_nav_rejected_content_kept():
     html = ('<body><nav><a href="/">Home</a> <a href="/b">About</a> '
             '<a href="/c">More</a></nav>'
