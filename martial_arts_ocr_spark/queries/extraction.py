@@ -24,11 +24,62 @@ from ..engine.job import run_extract, with_host
 _CHUNK = 600
 
 
-def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Probe injections (deterministic, keyed on doc_id) that make kernel
+# outputs SQL-predictable. Measured constants — see tests/oracle_check:
+# _JA_SENT contributes exactly 13 ja chars / 1 contiguous segment /
+# 3 term hits (武道, 稽古, 道場); _MACRON_SENT yields candidates at fixed
+# offsets 4 (Daito-ryu) and 37 (dojo).
+_JA_SENT = "武道の稽古は道場で行われる。"
+_JA_CHARS = 13
+_JA_ROMAJI = "budōno稽kohadōbade行wareru"
+_JA_TRANSLATION = "武道の稽古は道場で行われる"
+_MACRON_SENT = "The Daito-ryu tradition lives in the dojo hall."
+_FIG_SEP = "Separator paragraph keeps figure spans apart."
+
+
+def _pages_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    inject_ja: bool = False,
+    inject_figs: bool = False,
+    inject_macrons: bool = False,
+    host_from_doc: bool = False,
+) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # JVM-side HTML synthesis: concat of literals — no Python
     chunks = F.regexp_replace(
         F.col("text"), "(.{" + str(_CHUNK) + "})", "$1</p><p>"
+    )
+    ja_para = (
+        F.when((F.col("doc_id") % 2) == 0, F.lit(f"<p>{_JA_SENT}</p>"))
+        .otherwise(F.lit(""))
+        if inject_ja else F.lit("")
+    )
+    macron_para = (
+        F.lit(f"<p>{_MACRON_SENT}</p>") if inject_macrons else F.lit("")
+    )
+    figs = F.lit("")
+    if inject_figs:
+        # 1 + doc_id % 3 figures, each followed by a separator paragraph so
+        # the span merge (gap ≤ 12) never joins adjacent figure regions
+        one = [
+            F.when(
+                (1 + F.col("doc_id") % 3) >= k,
+                F.concat(
+                    F.lit(f'<figure><img src="f{k}.png" alt="">'
+                          f"<figcaption>Fig. {k} doc "),
+                    F.col("doc_id"),
+                    F.lit(f"</figcaption></figure><p>{_FIG_SEP}</p>"),
+                ),
+            ).otherwise(F.lit(""))
+            for k in (1, 2, 3)
+        ]
+        figs = F.concat(*one)
+    host = (
+        F.concat(F.lit("https://h"), F.col("doc_id") % 7,
+                 F.lit(".example.com/"), F.col("doc_id"))
+        if host_from_doc
+        else F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"))
     )
     html_str = F.concat(
         F.lit('<html><head><meta charset="utf-8"><title>'),
@@ -38,15 +89,19 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<a href="/b">Contact</a> <a href="/c">Help</a></nav>'
               "<article><h1>"),
         F.col("source"),
-        F.lit("</h1><p>"),
+        F.lit("</h1>"),
+        macron_para,           # first body para → macron offsets are
+        F.lit("<p>"),          # independent of the document text length
         chunks,
-        F.lit("</p></article>"
+        F.lit("</p>"),
+        ja_para,
+        figs,
+        F.lit("</article>"
               '<footer class="footer">© 2024 Example. All rights reserved. | '
               '<a href="/p">Privacy Policy</a></footer></body></html>'),
     )
     return d.select(
-        F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"))
-        .alias("url"),
+        host.alias("url"),
         html_str.cast("binary").alias("html"),
         F.col("lang"),
         F.col("doc_id"),
@@ -87,79 +142,131 @@ FROM documents ORDER BY url
 
 
 def q_extract_ja_segments(spark, sf_dir):
-    """Japanese-script extraction demo over seeded fixture pages
-    (generated in-memory; rows-only)."""
-    from ..fixtures.gen_pages import pages_pandas
-
-    pdf = pages_pandas(200)
-    pages = with_host(spark.createDataFrame(pdf))
-    out = run_extract(pages, num_partitions=8)
+    """Japanese-script path, oracle-checked: every even doc_id gets one
+    known ja sentence injected; segment count, term count, romaji,
+    translation, and ja_ratio (= 13 / (13 + latin chars)) are then exact
+    SQL. Exercises L1/L2/L7/L8/J4 end-to-end through the real kernel."""
+    pages = _pages_from_documents(spark, sf_dir, inject_ja=True)
+    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    # ja_ratio itself is banker's-rounded to 6 decimals in the kernel, which
+    # ties against DuckDB's half-up round for power-of-two denominators
+    # (13/128 = 0.1015625); invert it instead — round(13/ratio) recovers the
+    # scriptful char count (ja + latin) integer-exactly for any denominator
+    # below ~3600, making the check exact rather than rounding-fragile.
+    scriptful = F.round(F.lit(float(_JA_CHARS)) / F.col("ja_ratio")) \
+        .cast("bigint")
     return (
         out.where(F.col("ja_ratio") > 0)
         .select(
             "url", "lang_detected",
-            F.round("ja_ratio", 4).alias("ja_ratio"),
-            F.size("segments").alias("n_segments"),
-            F.size("term_hits").alias("n_terms"),
-            "romaji",
+            scriptful.alias("scriptful_chars"),
+            F.size("segments").cast("bigint").alias("n_segments"),
+            F.size("term_hits").cast("bigint").alias("n_terms"),
+            "romaji", "translation",
         )
         .orderBy("url")
     )
 
 
-def q_extract_figures(spark, sf_dir):
-    """Figure-region extraction over seeded fixture pages (rows-only)."""
-    from ..fixtures.gen_pages import pages_pandas
+ORACLE_JA = f"""
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       'en' AS lang_detected,
+       CAST({_JA_CHARS}
+            + 2 * length(regexp_replace(source, '[^A-Za-z]', '', 'g'))
+            + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         AS scriptful_chars,
+       CAST(1 AS BIGINT) AS n_segments,
+       CAST(3 AS BIGINT) AS n_terms,
+       '{_JA_ROMAJI}' AS romaji,
+       '{_JA_TRANSLATION}' AS translation
+FROM documents WHERE doc_id % 2 = 0 ORDER BY url
+"""
 
-    pdf = pages_pandas(200)
-    pages = with_host(spark.createDataFrame(pdf))
-    out = run_extract(pages, num_partitions=8)
+
+def q_extract_figures(spark, sf_dir):
+    """Figure-region extraction, oracle-checked: 1 + doc_id % 3 figures
+    injected per page with known captions → region_id/reading_order/caption
+    are exact SQL (S5/D1 + W5 reading order)."""
+    pages = _pages_from_documents(spark, sf_dir, inject_figs=True)
+    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
     figs = out.select("url", F.explode("figures").alias("f"))
     return figs.select(
         "url",
-        F.col("f.region_id").alias("region_id"),
+        F.col("f.region_id").cast("bigint").alias("region_id"),
         F.col("f.region_type").alias("region_type"),
         F.col("f.caption").alias("caption"),
-        F.col("f.reading_order").alias("reading_order"),
+        F.col("f.reading_order").cast("bigint").alias("reading_order"),
     ).orderBy("url", "region_id")
 
 
-def q_extract_macron_candidates(spark, sf_dir):
-    """Macron-normalization candidates over seeded pages (rows-only)."""
-    from ..fixtures.gen_pages import pages_pandas
+ORACLE_FIGURES = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(k AS BIGINT) AS region_id,
+       'figure' AS region_type,
+       'Fig. ' || CAST(k AS VARCHAR) || ' doc ' || CAST(doc_id AS VARCHAR)
+         AS caption,
+       CAST(k AS BIGINT) AS reading_order
+FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+WHERE k <= 1 + doc_id % 3
+ORDER BY url, region_id
+"""
 
-    pdf = pages_pandas(200)
-    pages = with_host(spark.createDataFrame(pdf))
-    out = run_extract(pages, num_partitions=8)
+
+def q_extract_macron_candidates(spark, sf_dir):
+    """Macron candidates, oracle-checked: the probe sentence is the FIRST
+    body paragraph, so candidate char offsets depend only on len(source)
+    (J5: span-anchored, ambiguity-marked, text never mutated)."""
+    pages = _pages_from_documents(spark, sf_dir, inject_macrons=True)
+    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
     mc = out.select("url", F.explode("macron_candidates").alias("m"))
     return mc.select(
         "url",
         F.col("m.observed").alias("observed"),
         F.col("m.candidate").alias("candidate"),
-        F.col("m.start").alias("start"),
+        F.col("m.start").cast("bigint").alias("start"),
         F.col("m.ambiguous").alias("ambiguous"),
     ).orderBy("url", "start", "candidate")
+
+
+# offsets within _MACRON_SENT: "Daito-ryu" at 4, "dojo" at 37; the probe
+# paragraph starts after "<title>\n\n<h1>" = 2*len(source) + 4 chars
+ORACLE_MACRONS = """
+WITH m AS (
+  SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         2 * length(source) + 4 AS base
+  FROM documents
+)
+SELECT url, observed, candidate, CAST(base + off AS BIGINT) AS start,
+       FALSE AS ambiguous
+FROM m CROSS JOIN (
+  SELECT * FROM (VALUES ('Daito-ryu', 'Daitō-ryū', 4),
+                        ('dojo', 'dōjō', 37)) v(observed, candidate, off)
+) c
+ORDER BY url, start, candidate
+"""
 
 
 def q_host_profiles(spark, sf_dir):
     """Per-host extraction profile via groupBy().applyInPandas — the
     grouped-map UDF surface (SURVEY §2.13): median/p90 per group need
     within-group vectorized computation, not just built-in aggs.
-    Rows-only (percentile semantics differ across engines)."""
+    Oracle-checked: hosts derive from doc_id % 7 and extracted text length
+    is template-predictable; linear-interpolation quantiles match DuckDB's
+    quantile_cont exactly."""
     import pandas as pd
 
-    from ..fixtures.gen_pages import pages_pandas
-
-    pages = with_host(spark.createDataFrame(pages_pandas(200)))
-    out = run_extract(pages, num_partitions=8)
+    pages = _pages_from_documents(
+        spark, sf_dir, inject_ja=True, host_from_doc=True
+    )
+    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         lens = pdf["text"].str.len()
         return pd.DataFrame({
             "host": [pdf["host"].iloc[0]],
             "n_docs": [len(pdf)],
-            "median_len": [float(lens.median())],
-            "p90_len": [float(lens.quantile(0.9, interpolation="lower"))],
+            "median_len": [round(float(lens.median()), 4)],
+            "p90_len": [round(float(lens.quantile(0.9)), 4)],
             "n_ja": [int((pdf["ja_ratio"] > 0).sum())],
         })
 
@@ -175,6 +282,26 @@ def q_host_profiles(spark, sf_dir):
     )
 
 
+# extracted length = title + h1 (source twice, "\n\n"-joined) + text chunks
+# + the injected ja paragraph (len("\n\n") + len(_JA_SENT) = 16) on even ids
+ORACLE_HOST_PROFILES = """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         CAST(2 * length(source) + 4 + length(text)
+              + 2 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1)
+              + CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS DOUBLE) AS len,
+         (doc_id % 2 = 0) AS is_ja
+  FROM documents
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(quantile_cont(len, 0.5) AS DOUBLE), 4) AS median_len,
+       round(CAST(quantile_cont(len, 0.9) AS DOUBLE), 4) AS p90_len,
+       CAST(sum(CASE WHEN is_ja THEN 1 ELSE 0 END) AS BIGINT) AS n_ja
+FROM d GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "host_profiles": q_host_profiles,
@@ -186,4 +313,8 @@ QUERIES = {
 
 ORACLES = {
     "extract_roundtrip": ORACLE_ROUNDTRIP,
+    "extract_ja_segments": ORACLE_JA,
+    "extract_figures": ORACLE_FIGURES,
+    "extract_macron_candidates": ORACLE_MACRONS,
+    "host_profiles": ORACLE_HOST_PROFILES,
 }
