@@ -79,12 +79,16 @@ MOJIBAKE_MAP: dict[str, str] = {
 # T7: ordered regex corrections (web analogue of regex_patterns
 # postprocessor.py:67-107 — entity remnants, spacing/punct normalization).
 # ---------------------------------------------------------------------------
-REGEX_CORRECTIONS: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"&#x?[0-9a-fA-F]{2,6};"), ""),        # unresolved numeric entities
-    (re.compile(r"\[\s*(?:edit|citation needed)\s*\]", re.IGNORECASE), ""),
-    (re.compile(r"[ \t]+"), " "),                        # collapse runs
-    (re.compile(r"\s+([.,;:!?])"), r"\1"),              # no space before punct
-    (re.compile(r"([.,;:!?])\1+"), r"\1"),              # dedup punct
+# (pattern, replacement, cheap-substring guard or None) — the guard is a
+# literal every match must contain, letting a C-level `in` skip the regex
+REGEX_CORRECTIONS: list[tuple[re.Pattern, str, str | None]] = [
+    (re.compile(r"&#x?[0-9a-fA-F]{2,6};"), "", "&#"),  # unresolved numeric entities
+    (re.compile(r"\[\s*(?:edit|citation needed)\s*\]", re.IGNORECASE), "", "["),
+    # collapse runs — on single spaces the sub is the identity, so the
+    # guard ("  " or a tab present) is exact, not approximate
+    (re.compile(r"[ \t]+"), " ", None),
+    (re.compile(r"\s+([.,;:!?])"), r"\1", None),        # no space before punct
+    (re.compile(r"([.,;:!?])\1+"), r"\1", None),        # dedup punct
 ]
 
 # T11: control chars except \n \t (text_utils.py:144-153)
@@ -148,8 +152,15 @@ def process_lines(text: str) -> str:
     return "\n".join(deduped)
 
 
+# every MOJIBAKE_MAP key contains one of these lead chars — 4 C-scans
+# decide whether the 19-key substitution loop can run at all
+_MOJIBAKE_LEADS = ("â", "Ã", "Â", "&")
+
+
 def fix_mojibake(text: str) -> str:
     """T6: ordered context-free substitution map."""
+    if not any(c in text for c in _MOJIBAKE_LEADS):
+        return text
     for wrong, right in MOJIBAKE_MAP.items():
         if wrong in text:
             text = text.replace(wrong, right)
@@ -158,8 +169,11 @@ def fix_mojibake(text: str) -> str:
 
 def apply_regex_corrections(text: str) -> str:
     """T7: ordered regex chain."""
-    for rx, repl in REGEX_CORRECTIONS:
-        text = rx.sub(repl, text)
+    for rx, repl, guard in REGEX_CORRECTIONS:
+        if guard is None or guard in text:
+            if repl == " " and "  " not in text and "\t" not in text:
+                continue                    # run-collapse is identity here
+            text = rx.sub(repl, text)
     return text
 
 
@@ -170,7 +184,8 @@ def strip_control_chars(text: str) -> str:
 
 def strip_artifacts(text: str) -> str:
     """T12: artifact glyphs, punctuation-only lines, isolated char lines."""
-    text = _ARTIFACT_RE.sub("", text)
+    if not text.isascii():                  # glyph class is all non-ASCII
+        text = _ARTIFACT_RE.sub("", text)
     text = _PUNCT_ONLY_LINE_RE.sub("", text)
     text = _ISOLATED_CHAR_LINE_RE.sub("", text)
     return text
@@ -179,10 +194,16 @@ def strip_artifacts(text: str) -> str:
 def normalize_whitespace(text: str) -> str:
     """T10 (postprocessor.py:413-432): collapse spaces, normalize line ends,
     ≤1 blank line, strip per-line trailing space, final strip."""
-    text = text.replace("\r\n", "\n").replace("\r", "\n")
-    text = re.sub(r"[ \t]+", " ", text)
-    text = re.sub(r" ?\n ?", "\n", text)
-    text = re.sub(r"\n{3,}", "\n\n", text)
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    # each sub below is the identity unless its guard substring exists,
+    # so the guards are exact skips, not approximations
+    if "  " in text or "\t" in text:
+        text = re.sub(r"[ \t]+", " ", text)
+    if " \n" in text or "\n " in text:
+        text = re.sub(r" ?\n ?", "\n", text)
+    if "\n\n\n" in text:
+        text = re.sub(r"\n{3,}", "\n\n", text)
     return text.strip()
 
 

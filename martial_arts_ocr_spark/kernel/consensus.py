@@ -26,7 +26,7 @@ HIGH_BAND = 0.60
 MODERATE_BAND = 0.25
 
 
-@dataclass
+@dataclass(slots=True)
 class BlockDecision:
     block: Block
     accept: bool

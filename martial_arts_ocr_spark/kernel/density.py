@@ -42,8 +42,13 @@ BOILER_PHRASES_RE = re.compile(
 
 MIN_BLOCK_CHARS = 3          # size pre-gate (text_filter.py:166-171 analogue)
 
+# every BOILER_PHRASES_RE alternative contains one of these substrings —
+# C-level scans of the (already lowered) text gate the regex
+_BOILER_GUARDS = ("cookie", "skip to", "rights reserved", "privacy",
+                  "terms of", "sign ", "subscribe", "©", "&copy;")
 
-@dataclass
+
+@dataclass(slots=True)
 class Verdict:
     """Per-block accept/reject decision with diagnostics."""
 
@@ -57,11 +62,14 @@ def block_features(b: Block) -> dict:
     """Vectorizable per-block features (analogue of text_like_metrics)."""
     text = b.text
     n = len(text)
-    words = _WORD_RE.findall(text.lower())
+    lowered = text.lower()
+    words = _WORD_RE.findall(lowered)
     n_words = len(words)
-    n_stop = sum(1 for w in words if w in STOPWORDS)
+    n_stop = sum(map(STOPWORDS.__contains__, words))
     n_punct = len(_PUNCT_RE.findall(text))
-    n_ja = len(_JA_RE.findall(text))
+    # ja scan skipped on pure-ASCII blocks (str.isascii is C-speed; the ja
+    # class is entirely non-ASCII, so the count is provably 0)
+    n_ja = 0 if text.isascii() else len(_JA_RE.findall(text))
     return {
         "n_chars": n,
         "n_words": n_words,
@@ -69,8 +77,11 @@ def block_features(b: Block) -> dict:
         "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
         "punct_ratio": (n_punct / n) if n else 0.0,
         "ja_ratio": (n_ja / n) if n else 0.0,
-        "avg_word_len": (sum(len(w) for w in words) / n_words) if n_words else 0.0,
-        "boiler_phrase": bool(BOILER_PHRASES_RE.search(text)),
+        "avg_word_len": (sum(map(len, words)) / n_words) if n_words else 0.0,
+        "boiler_phrase": bool(
+            any(g in lowered for g in _BOILER_GUARDS)
+            and BOILER_PHRASES_RE.search(text)
+        ),
     }
 
 
@@ -80,11 +91,10 @@ def score_block(b: Block) -> Verdict:
     Mirrors the reference's reject-with-reason style: every failed rule
     appends a reason; acceptance requires no hard-reject rule fired.
     """
+    if len(b.text) < MIN_BLOCK_CHARS:       # pre-gate before feature work
+        return Verdict(False, 0.95, ("too_short",))
     f = block_features(b)
     reasons: list[str] = []
-
-    if f["n_chars"] < MIN_BLOCK_CHARS:
-        return Verdict(False, 0.95, ("too_short",))
 
     # hard rejections (density analogues of text_filter hard rules)
     if f["link_density"] > 0.66:

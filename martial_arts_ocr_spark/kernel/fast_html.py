@@ -20,20 +20,16 @@ from __future__ import annotations
 import re
 from html import unescape
 
-# one pass: comments, CDATA, <!...>, <?...>, end tags, start tags
-_TOKEN_RE = re.compile(
-    r"<(?:"
-    r"!--(?P<comment>.*?)(?:-->|\Z)"
-    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"
-    r"|!(?P<decl>[^>]*)>"
-    r"|\?(?P<pi>[^>]*)>"
-    r"|(?P<close>/)(?P<ctag>[a-zA-Z][a-zA-Z0-9:._-]*)\s*>"
-    r"|(?P<otag>[a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"(?P<attrs>(?:\s+[^<>\s\"'][^<>\s=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
-    r"\s*(?P<selfclose>/)?>"
-    r")",
-    re.S,
+# start/end tag patterns; comments/CDATA/decls/PIs are handled by direct
+# substring scans (first-char dispatch — see tokenize_into). Semantics are
+# identical to the previous single-alternation token regex; equivalence with
+# stdlib html.parser stays pinned by tests/test_fast_html_equivalence.py.
+_OPEN_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"((?:\s+[^<>\s\"'][^<>\s=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/)?>"
 )
+_CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
 _ATTR_RE = re.compile(
     r"([^<>\s\"'][^<>\s=]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
@@ -64,45 +60,80 @@ def tokenize_into(handler, html_text: str) -> None:
     """Feed start/end/data events into a _BlockParser-compatible handler."""
     pos = 0
     n = len(html_text)
+    find = html_text.find
+    handle_data = handler.handle_data
+    handle_starttag = handler.handle_starttag
+    handle_endtag = handler.handle_endtag
+    open_match = _OPEN_RE.match
+    close_match = _CLOSE_RE.match
     while pos < n:
-        lt = html_text.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
             data = html_text[pos:]
             if data:
-                handler.handle_data(unescape(data) if "&" in data else data)
+                handle_data(unescape(data) if "&" in data else data)
             break
         if lt > pos:
             data = html_text[pos:lt]
-            handler.handle_data(unescape(data) if "&" in data else data)
-        m = _TOKEN_RE.match(html_text, lt)
-        if m is None:
-            # literal '<' that opens nothing parseable
-            handler.handle_data("<")
-            pos = lt + 1
-            continue
-        if m.group("otag"):
-            tag = m.group("otag").lower()
-            raw_attrs = m.group("attrs") or ""
+            handle_data(unescape(data) if "&" in data else data)
+        c = html_text[lt + 1] if lt + 1 < n else ""
+        if c.isalpha():                       # start tag
+            m = open_match(html_text, lt)
+            if m is None:
+                handle_data("<")
+                pos = lt + 1
+                continue
+            tag = m.group(1).lower()
+            raw_attrs = m.group(2)
             attrs = (
                 _parse_attrs(raw_attrs)
                 if raw_attrs and any(k in raw_attrs for k in _INTERESTING)
                 else []
             )
-            if m.group("selfclose"):
+            if m.group(3):
                 handler.handle_startendtag(tag, attrs)
             else:
-                handler.handle_starttag(tag, attrs)
+                handle_starttag(tag, attrs)
                 if tag in ("script", "style"):
                     # rawtext elements (html.parser CDATA mode): content is
                     # not tokenized; scan straight to the closing tag
                     end = _RAWTEXT_END[tag].search(html_text, m.end())
                     if end is None:
-                        handler.handle_endtag(tag)
+                        handle_endtag(tag)
                         break
-                    handler.handle_endtag(tag)
+                    handle_endtag(tag)
                     pos = end.end()
                     continue
-        elif m.group("close"):
-            handler.handle_endtag(m.group("ctag").lower())
-        # comments / CDATA / decls / PIs: skipped
-        pos = m.end()
+            pos = m.end()
+        elif c == "/":                        # end tag
+            m = close_match(html_text, lt)
+            if m is None:
+                handle_data("<")
+                pos = lt + 1
+                continue
+            handle_endtag(m.group(1).lower())
+            pos = m.end()
+        elif c == "!":                        # comment / CDATA / decl
+            if html_text.startswith("<!--", lt):
+                i = find("-->", lt + 4)
+                pos = i + 3 if i != -1 else n
+            elif html_text.startswith("<![CDATA[", lt):
+                i = find("]]>", lt + 9)
+                pos = i + 3 if i != -1 else n
+            else:
+                i = find(">", lt + 2)
+                if i == -1:                   # '<!' with no '>' → literal '<'
+                    handle_data("<")
+                    pos = lt + 1
+                else:
+                    pos = i + 1
+        elif c == "?":                        # processing instruction
+            i = find(">", lt + 2)
+            if i == -1:
+                handle_data("<")
+                pos = lt + 1
+            else:
+                pos = i + 1
+        else:                                 # literal '<'
+            handle_data("<")
+            pos = lt + 1

@@ -56,7 +56,7 @@ _FIGURE_TAGS = frozenset({"figure", "table", "svg"})
 _VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate text block (web bbox = char span + node path)."""
 
@@ -90,7 +90,7 @@ class Block:
         return self.n_anchor_chars / len(self.text) if self.text else 0.0
 
 
-@dataclass
+@dataclass(slots=True)
 class _Frame:
     tag: str
     path: str

@@ -36,6 +36,12 @@ MAX_HTML_BYTES = 2 * 1024 * 1024
 FALLBACK_MIN_BLOCKS = 2
 FALLBACK_MIN_COVERAGE = 0.20
 
+# empty-input stat shapes computed once (they were ~5% of per-doc time as
+# per-call defaults; copied per row so downstream mutation stays safe)
+_EMPTY_STATS = assemble.text_statistics("")
+_EMPTY_CLEANING = assemble.cleaning_stats("", "")
+_EMPTY_LAYOUT = assemble.layout_stats([])
+
 
 def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
     """Extract one document. Never raises: failures return status='failed'."""
@@ -62,9 +68,9 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         "term_hits": [],
         "macron_candidates": [],
         "figures": [],
-        "stats": assemble.text_statistics(""),
-        "cleaning": assemble.cleaning_stats("", ""),
-        "layout": assemble.layout_stats([]),
+        "stats": dict(_EMPTY_STATS),
+        "cleaning": dict(_EMPTY_CLEANING),
+        "layout": dict(_EMPTY_LAYOUT),
         "language_segments": [],
     }
     try:

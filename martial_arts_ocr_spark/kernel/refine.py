@@ -35,8 +35,17 @@ TRAILING_FRAGMENT_RES: list[re.Pattern] = [
 ]
 
 
+# every fragment pattern needs one of these words somewhere near the block
+# end; a C-level substring scan of the tail skips the regex fixpoint loop
+_GUARD_WORDS = ("share", "tweet", "pin", "email", "print", "save", "like",
+                "follow us", "read more", "continue reading", "related")
+
+
 def refine_text(text: str) -> tuple[str, bool]:
     """Strip trailing boilerplate fragments; returns (text, refined)."""
+    tail = text[-160:].lower()
+    if not any(w in tail for w in _GUARD_WORDS):
+        return text, False
     refined = False
     changed = True
     while changed:

@@ -44,8 +44,10 @@ class ScriptSegment:
 
 
 def has_japanese(text: str) -> bool:
-    """L1 detection gate (ocr/processor.py:309-311 analogue)."""
-    return bool(_JA_ANY_RE.search(text))
+    """L1 detection gate (ocr/processor.py:309-311 analogue). The ja char
+    classes are entirely non-ASCII, so pure-ASCII text short-circuits at
+    C speed."""
+    return (not text.isascii()) and bool(_JA_ANY_RE.search(text))
 
 
 def classify_script(text: str) -> str:
@@ -75,6 +77,11 @@ def language_segments(text: str) -> list[dict]:
     alternating en/ja spans; non-ja spans are labeled by their own content
     ('en' if any Latin letters, else 'other'). Spans cover the whole text.
     """
+    if text.isascii():                      # no ja runs possible
+        if text and text.strip():
+            lang = "en" if _EN_RE.search(text) else "other"
+            return [{"lang": lang, "start": 0, "end": len(text)}]
+        return []
     segs: list[dict] = []
     pos = 0
     for m in _JA_RUN_RE.finditer(text):
@@ -98,7 +105,7 @@ def language_composition(text: str) -> dict:
     is_mixed uses the reference's open interval 0.1 < ja_ratio < 0.9.
     """
     n = len(text)
-    ja = len(_JA_ANY_RE.findall(text))
+    ja = 0 if text.isascii() else len(_JA_ANY_RE.findall(text))
     en = len(_EN_RE.findall(text))
     scriptful = ja + en
     ja_ratio = (ja / scriptful) if scriptful else 0.0

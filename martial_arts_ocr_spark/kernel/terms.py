@@ -193,10 +193,17 @@ _ALL_VARIANTS_RE = re.compile(
 
 _CONTEXT_CHARS = 32
 
+# cheap C-scan gate: every variant contains one of these substrings
+# (case-folded), so a doc without any cannot produce a candidate
+_VARIANT_GUARDS = tuple({v.lower()[:5] for v in _VARIANT_TO_CANONICALS})
+
 
 def find_macron_candidates(text: str) -> list[MacronCandidate]:
     """Span-anchored, deduplicated, ambiguity-marked suggestions; never
     mutates text (macron_candidates.py:114-217 semantics)."""
+    lowered = text.lower()
+    if not any(g in lowered for g in _VARIANT_GUARDS):
+        return []
     raw: list[MacronCandidate] = []
     for m in _ALL_VARIANTS_RE.finditer(text):
         observed = m.group(0)
