@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import catalog
 from .job import run_extract, salted_key_col, with_host, with_salted_key
+from .schema import CHECKPOINT_SCHEMA, METRICS_SCHEMA
 
 CHECKPOINT_TABLE = "checkpoints"
 METRICS_TABLE = "metrics"
@@ -148,7 +149,8 @@ def run_checkpointed(
                 os.replace(src, dst)
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
-        # 2. per-partition metrics (lineage: run_id + bucket + counts)
+        # 2. per-partition metrics (lineage: run_id + bucket + counts +
+        #    input bytes), written through the declared METRICS_SCHEMA
         metrics = (
             extracted.groupBy("part_bucket")
             .agg(
@@ -157,24 +159,28 @@ def run_checkpointed(
                 .alias("n_completed"),
                 F.sum(F.when(F.col("status") == "failed", 1).otherwise(0))
                 .alias("n_failed"),
+                F.sum("n_bytes_in").alias("n_bytes_in"),
                 F.sum(F.length("text")).alias("n_chars_out"),
             )
             .withColumn("run_id", F.lit(run_id))
+            .select([F.col(f.name).cast(f.dataType)
+                     for f in METRICS_SCHEMA.fields])
         )
         (metrics.write.mode("append")
          .parquet(catalog.table_path(root, METRICS_TABLE)))
 
-        # 3. checkpoint rows — the commit point for this wave
+        # 3. snapshot entry, then checkpoint rows carrying its id — the
+        # checkpoint write is the commit point (a crash in between re-runs
+        # the wave; the duplicate snapshot entry is harmless lineage noise)
+        sid = catalog.append_snapshot(root, EXTRACTED_TABLE, {
+            "run_id": run_id, "wave": wave_no, "buckets": [int(b) for b in wave],
+        })
         ckpt = spark.createDataFrame(
-            [(run_id, int(b), "completed") for b in wave],
-            "run_id string, part_bucket int, status string",
+            [(run_id, int(b), sid, "completed") for b in wave],
+            CHECKPOINT_SCHEMA,
         )
         (ckpt.write.mode("append")
          .parquet(catalog.table_path(root, CHECKPOINT_TABLE)))
-
-        catalog.append_snapshot(root, EXTRACTED_TABLE, {
-            "run_id": run_id, "wave": wave_no, "buckets": [int(b) for b in wave],
-        })
         extracted.unpersist()
         processed.extend(wave)
     bucketed.unpersist()

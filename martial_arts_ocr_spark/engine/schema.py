@@ -91,6 +91,7 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("status", T.StringType(), False),
     T.StructField("error", T.StringType(), True),
     T.StructField("encoding", T.StringType(), True),
+    T.StructField("n_bytes_in", T.IntegerType(), True),
     T.StructField("text", T.StringType(), True),
     T.StructField("n_blocks", T.IntegerType(), True),
     T.StructField("n_rejected", T.IntegerType(), True),
@@ -115,9 +116,11 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("language_segments", T.ArrayType(LANG_SEGMENT_T), True),
 ])
 
+# resume.py writes the metrics/checkpoints tables through these schemas
+# (column order + types are the contract the lineage queries read back)
 METRICS_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
-    T.StructField("part_key", T.IntegerType(), False),
+    T.StructField("part_bucket", T.IntegerType(), False),
     T.StructField("n_docs", T.LongType(), False),
     T.StructField("n_completed", T.LongType(), False),
     T.StructField("n_failed", T.LongType(), False),
@@ -127,7 +130,7 @@ METRICS_SCHEMA = T.StructType([
 
 CHECKPOINT_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
-    T.StructField("part_key", T.IntegerType(), False),
+    T.StructField("part_bucket", T.IntegerType(), False),
     T.StructField("snapshot_id", T.StringType(), True),
     T.StructField("status", T.StringType(), False),
 ])

@@ -50,6 +50,7 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         "status": "completed",
         "error": None,
         "encoding": None,
+        "n_bytes_in": len(html) if html else 0,   # pre-truncation input size
         "text": "",
         "n_blocks": 0,
         "n_rejected": 0,

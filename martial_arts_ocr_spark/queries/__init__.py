@@ -12,10 +12,12 @@ Determinism rules applied everywhere:
   would otherwise hash differently from Spark's bigint).
 """
 
-from . import extended, extraction, neardup, relational, similarity, textops
+from . import (extended, extraction, lineage, neardup, relational,
+               similarity, textops)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for mod in (relational, textops, similarity, neardup, extended, extraction):
+for mod in (relational, textops, similarity, neardup, extended, extraction,
+            lineage):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))

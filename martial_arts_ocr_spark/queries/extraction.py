@@ -36,6 +36,31 @@ _JA_TRANSLATION = "武道の稽古は道場で行われる"
 _MACRON_SENT = "The Daito-ryu tradition lives in the dojo hall."
 _FIG_SEP = "Separator paragraph keeps figure spans apart."
 
+# template literal segments — shared between the Spark concat and the
+# byte-count formula of the lineage oracle (queries/lineage.py), so the
+# two can never drift apart
+_TPL_HEAD1 = '<html><head><meta charset="utf-8"><title>'
+_TPL_HEAD2 = (
+    "</title></head><body>"
+    '<nav class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/b">Contact</a> <a href="/c">Help</a></nav>'
+    "<article><h1>"
+)
+_TPL_MID = "</h1>"
+_TPL_P_OPEN = "<p>"
+_TPL_P_CLOSE = "</p>"
+_TPL_TAIL = (
+    "</article>"
+    '<footer class="footer">© 2024 Example. All rights reserved. | '
+    '<a href="/p">Privacy Policy</a></footer></body></html>'
+)
+# utf-8 bytes of the constant page skeleton (© is 2 bytes); per-page html
+# bytes = this + 2·len(source) + len(text) + 7·(n_chunks − 1)
+TEMPLATE_CONST_BYTES = len(
+    (_TPL_HEAD1 + _TPL_HEAD2 + _TPL_MID + _TPL_P_OPEN + _TPL_P_CLOSE
+     + _TPL_TAIL).encode("utf-8")
+)
+
 
 def _pages_from_documents(
     spark: SparkSession,
@@ -82,23 +107,18 @@ def _pages_from_documents(
         else F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"))
     )
     html_str = F.concat(
-        F.lit('<html><head><meta charset="utf-8"><title>'),
+        F.lit(_TPL_HEAD1),
         F.col("source"),
-        F.lit("</title></head><body>"
-              '<nav class="nav"><a href="/">Home</a> <a href="/a">About</a> '
-              '<a href="/b">Contact</a> <a href="/c">Help</a></nav>'
-              "<article><h1>"),
+        F.lit(_TPL_HEAD2),
         F.col("source"),
-        F.lit("</h1>"),
+        F.lit(_TPL_MID),
         macron_para,           # first body para → macron offsets are
-        F.lit("<p>"),          # independent of the document text length
+        F.lit(_TPL_P_OPEN),    # independent of the document text length
         chunks,
-        F.lit("</p>"),
+        F.lit(_TPL_P_CLOSE),
         ja_para,
         figs,
-        F.lit("</article>"
-              '<footer class="footer">© 2024 Example. All rights reserved. | '
-              '<a href="/p">Privacy Policy</a></footer></body></html>'),
+        F.lit(_TPL_TAIL),
     )
     return d.select(
         host.alias("url"),

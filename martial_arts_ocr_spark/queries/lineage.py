@@ -1,0 +1,110 @@
+"""Lineage-surface queries: the metrics/checkpoints tables written by the
+checkpointed runner (engine/resume.py), exposed to the driver gate.
+
+Reference analogue: per-document ``processing_time``/status persistence
+(``/root/reference/src/martial_arts_ocr/db/models.py:136-137`` and the
+orchestrator state machine ``pipeline/orchestrator.py:289-311``) — here the
+lineage is per Iceberg-partition-bucket rows, and the driver verifies the
+metrics totals against SQL computed from the input table.
+
+Each registered query performs (once per process per sf_dir) a real
+checkpointed extraction run over pages synthesized from ``documents`` into
+a temp warehouse, then reads the lineage tables back. ``run_metrics`` has
+an exact oracle: every count/byte/char total is template-predictable.
+``run_checkpoints`` is rows-only (bucket ids come from xxhash64, which
+DuckDB cannot reproduce).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..engine import catalog, resume
+from .extraction import TEMPLATE_CONST_BYTES, _pages_from_documents
+
+_N_BUCKETS = 8
+_RUN_ID = "lineage-gate"
+_READY: dict[str, str] = {}          # sf_dir -> warehouse root (per process)
+
+
+def _ensure_run(spark, sf_dir: str) -> str:
+    root = _READY.get(sf_dir)
+    if root and catalog.table_exists(root, resume.METRICS_TABLE):
+        return root
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"mao_lineage_{os.getpid()}_{tag}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    # host_from_doc: hosts h0..h6 so the run spans several part_buckets
+    # (a single shared host would collapse the lineage demo to one bucket)
+    pages = _pages_from_documents(
+        spark, sf_dir, host_from_doc=True
+    ).select("url", "html", "lang")
+    resume.run_checkpointed(
+        spark, pages, root, run_id=_RUN_ID,
+        n_buckets=_N_BUCKETS, batch_size=_N_BUCKETS,
+    )
+    _READY[sf_dir] = root
+    return root
+
+
+def q_run_metrics(spark, sf_dir):
+    """Totals over the per-bucket metrics rows of a checkpointed run —
+    oracle-exact: the probe pages make every metric SQL-predictable."""
+    root = _ensure_run(spark, sf_dir)
+    m = catalog.read_table(spark, root, resume.METRICS_TABLE)
+    return m.where(F.col("run_id") == _RUN_ID).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_completed").alias("n_completed"),
+        F.sum("n_failed").alias("n_failed"),
+        F.sum("n_bytes_in").alias("n_bytes_in"),
+        F.sum("n_chars_out").alias("n_chars_out"),
+    )
+
+
+ORACLE_RUN_METRICS = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_completed,
+       CAST(0 AS BIGINT) AS n_failed,
+       CAST(sum({TEMPLATE_CONST_BYTES} + 2 * length(source) + length(text)
+            + 7 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1))
+            AS BIGINT) AS n_bytes_in,
+       CAST(sum(2 * length(source) + 4 + length(text)
+            + 2 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1))
+            AS BIGINT) AS n_chars_out
+FROM documents
+"""
+
+
+def q_run_checkpoints(spark, sf_dir):
+    """Checkpoint rows of the same run: one completed row per processed
+    bucket, each carrying the snapshot id of its committing wave.
+    Rows-only: bucket assignment is pmod(xxhash64(salted host), P)."""
+    root = _ensure_run(spark, sf_dir)
+    c = catalog.read_table(spark, root, resume.CHECKPOINT_TABLE)
+    return (
+        c.where(F.col("run_id") == _RUN_ID)
+        .select(
+            "run_id",
+            F.col("part_bucket").cast("bigint").alias("part_bucket"),
+            "status",
+            (F.length("snapshot_id") == 12).alias("snapshot_id_ok"),
+        )
+        .orderBy("part_bucket")
+    )
+
+
+QUERIES = {
+    "run_metrics": q_run_metrics,
+    "run_checkpoints": q_run_checkpoints,
+}
+
+ORACLES = {
+    "run_metrics": ORACLE_RUN_METRICS,
+}

@@ -46,10 +46,18 @@ def _norm(a):
 # --- embedding-cosine near-dup pairs -------------------------------------------
 
 def q_cosine_neardup_pairs(spark, sf_dir):
-    """Pairs with cosine ≥ 0.30 among same-label vectors (label = the
-    LSH-bucket stand-in: at scale the join runs within candidate buckets)."""
+    """Pairs with cosine ≥ 0.30 among same-LSH-bucket vectors — the
+    registered query IS the 100 TB plan: map-only signature UDF → self
+    equi-join on bucket id → exact cosine only inside buckets (never
+    all-pairs). Oracle reproduces the buckets via the baked-literal
+    hyperplane matrix."""
+    from .similarity import _lsh_signature_udf
+
+    sig = _lsh_signature_udf()
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding",
+        sig(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(
@@ -57,12 +65,12 @@ def q_cosine_neardup_pairs(spark, sf_dir):
         / (F.col("a.nrm") * F.col("b.nrm")), 5,
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.bucket").cast("bigint").alias("bucket"),
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= 0.30)
@@ -70,16 +78,26 @@ def q_cosine_neardup_pairs(spark, sf_dir):
     )
 
 
-ORACLE_COSINE_PAIRS = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+def _oracle_cosine_pairs() -> str:
+    from .similarity import lsh_bucket_sql_expr
+
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, CAST({lsh_bucket_sql_expr()} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        round(CAST(list_cosine_similarity(a.embedding, b.embedding)
              AS DOUBLE), 5) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM sig a JOIN sig b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
       AS DOUBLE), 5) >= 0.30
 ORDER BY vec_a, vec_b
 """
+
+
+ORACLE_COSINE_PAIRS = _oracle_cosine_pairs()
 
 
 # --- token-set Jaccard near-dup pairs -------------------------------------------

@@ -164,13 +164,12 @@ def q_lsh_bucket_candidates(spark, sf_dir):
     return pairs
 
 
-def _lsh_oracle_sql(dim: int = 64) -> str:
-    """DuckDB oracle with the hyperplane matrix baked in as literals.
-
-    The test tables' embeddings are 64-wide; the oracle only runs there.
-    Both sides round the dot product to 7 decimals before the sign test,
-    so summation-order rounding cannot flip a bucket bit.
-    """
+def lsh_bucket_sql_expr(dim: int = 64) -> str:
+    """DuckDB expression computing the LSH bucket of column `embedding`,
+    with the hyperplane matrix baked in as literals (same fixed seed as
+    the Spark UDF). Both sides round the dot product to 7 decimals before
+    the sign test, so summation-order rounding cannot flip a bucket bit.
+    Shared by the lsh_bucket_candidates and cosine_neardup_pairs oracles."""
     mat = _lsh_planes(dim)
     terms = []
     for i in range(_LSH_PLANES):
@@ -180,7 +179,13 @@ def _lsh_oracle_sql(dim: int = 64) -> str:
             f"(CASE WHEN round(CAST(list_dot_product(embedding, {vec}) "
             f"AS DOUBLE), 7) > 0 THEN {weight} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """Full DuckDB oracle for lsh_bucket_candidates (the test tables'
+    embeddings are 64-wide; the oracle only runs there)."""
+    bucket = lsh_bucket_sql_expr(dim)
     return f"""
 WITH sig AS (
   SELECT vec_id, label, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
