@@ -130,9 +130,15 @@ def make_html(i: int, seed: int = SEED) -> dict:
                         p = p[:mid] + "-<br>" + p[mid:]
             if rng.random() < 0.15:
                 p += "<br>" + "&#9632; noise line"
-            if rng.random() < 0.2:
-                # inline share chain inside the paragraph (M4 refine target)
+            share_roll = rng.random()
+            if share_roll < 0.2:
+                # inline share chain (M4 refine target); the sub-0.08 band
+                # embeds it INTERIOR — prose continues after the chain
+                # (fixed continuation: no extra rng draws, so pages without
+                # this band keep their round-1 content)
                 p += " Share | Tweet | Email"
+                if share_roll < 0.08:
+                    p += " The discussion of the topic then continues."
             parts.append(f"<p>{p}</p>")
             body_texts.append(p)
     # sibling card grid (panel-row target)

@@ -19,8 +19,8 @@ full-page OCR when region OCR looks degenerate.
 
 from __future__ import annotations
 
-from . import (assemble, cleanup, consensus, density, domtree, refine,
-               regions, romanize, script, terms)
+from . import (assemble, cleanup, consensus, density, domtree, rawtext,
+               refine, regions, romanize, script, terms)
 from .encoding import decode_html
 from .html_blocks import segment_blocks
 
@@ -85,34 +85,48 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         html_text, enc = decode_html(html)
         row["encoding"] = enc
         blocks = segment_blocks(html_text)
+        regex_text: str | None = None      # A2 ladder rung 3 result
         if not blocks:
-            row["status"] = "failed"
-            row["error"] = "no_blocks"
-            return row
+            # last ladder rung: tag-stripping salvage (rawtext.py) — the
+            # analogue of falling through the PSM ladder to full-page OCR
+            regex_text = rawtext.extract_rawtext(html_text)
+            if not regex_text:
+                row["status"] = "failed"
+                row["error"] = "no_blocks"
+                return row
+            row["decision_source"] = "regex"
+            decisions = []
+        else:
+            verdict_a = [density.score_block(b) for b in blocks]
+            verdict_b = domtree.classify_blocks(blocks)
+            decisions = consensus.merge_blocks(blocks, verdict_a, verdict_b)
 
-        verdict_a = [density.score_block(b) for b in blocks]
-        verdict_b = domtree.classify_blocks(blocks)
-        decisions = consensus.merge_blocks(blocks, verdict_a, verdict_b)
-
-        accepted = [d for d in decisions if d.accept]
-        total_chars = sum(b.n_chars for b in blocks) or 1
-        acc_chars = sum(d.block.n_chars for d in accepted)
-        # P3 fallback: degenerate region extraction → whole-document path
-        if (len(accepted) <= FALLBACK_MIN_BLOCKS
-                or acc_chars / total_chars < FALLBACK_MIN_COVERAGE):
-            fallback = [
-                consensus.BlockDecision(b, True, 0.5, "fullpage", True, ())
-                for b in blocks
-                if not (b.in_chrome_tag or b.chrome_class)
-            ]
-            # A1 arg-max between the two whole-doc candidates
-            text_consensus, _ = assemble.assemble_text(decisions)
-            text_fallback, _ = assemble.assemble_text(fallback)
-            s_cons = consensus.candidate_score(0.8, text_consensus)
-            s_fall = consensus.candidate_score(0.5, text_fallback)
-            if s_fall > s_cons:
-                decisions = fallback
-                row["decision_source"] = "fullpage"
+            accepted = [d for d in decisions if d.accept]
+            total_chars = sum(b.n_chars for b in blocks) or 1
+            acc_chars = sum(d.block.n_chars for d in accepted)
+            # P3 fallback: degenerate region extraction → whole-doc ladder
+            # (A2: three candidates through the same candidate_score, like
+            # the reference's PSM variants, ocr/engines.py:119-168)
+            if (len(accepted) <= FALLBACK_MIN_BLOCKS
+                    or acc_chars / total_chars < FALLBACK_MIN_COVERAGE):
+                fallback = [
+                    consensus.BlockDecision(b, True, 0.5, "fullpage", True, ())
+                    for b in blocks
+                    if not (b.in_chrome_tag or b.chrome_class)
+                ]
+                text_consensus, _ = assemble.assemble_text(decisions)
+                text_fallback, _ = assemble.assemble_text(fallback)
+                text_regex = rawtext.extract_rawtext(html_text)
+                s_cons = consensus.candidate_score(0.8, text_consensus)
+                s_fall = consensus.candidate_score(0.5, text_fallback)
+                s_regx = consensus.candidate_score(0.3, text_regex)
+                if s_regx > s_cons and s_regx > s_fall:
+                    regex_text = text_regex
+                    decisions = []
+                    row["decision_source"] = "regex"
+                elif s_fall > s_cons:
+                    decisions = fallback
+                    row["decision_source"] = "fullpage"
 
         # M4 refinement: strip inline boilerplate tails from accepted blocks
         n_refined = 0
@@ -125,7 +139,12 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
                     n_refined += 1
         row["n_refined"] = n_refined
 
-        raw_text, uncertain = assemble.assemble_text(decisions)
+        if regex_text is not None:
+            # rung-3 output: no block structure — reading order is by
+            # construction uncertain, block/figure metadata empty
+            raw_text, uncertain = regex_text, True
+        else:
+            raw_text, uncertain = assemble.assemble_text(decisions)
         text = cleanup.clean_text(raw_text)
         row["cleaning"] = assemble.cleaning_stats(raw_text, text)   # A9
         row["layout"] = assemble.layout_stats(decisions)            # A11

@@ -8,9 +8,11 @@ carries an inline boilerplate fragment (social-share chains, "read more" /
 "related" tails appended by templates inside the same ``<p>/<div>``) gets
 the fragment stripped; the block is flagged for review.
 
-Only trailing fragments are stripped — mid-text matches are left alone
-(same conservatism as the reference: refinement never deletes coherent
-interior mass).
+Trailing fragments may use loose separators (spaces count); INTERIOR
+fragments are stripped only when explicitly delimited (pipe/bullet-joined
+share chains) — the reference's conservatism: refinement never deletes
+coherent interior mass, and an undelimited interior word run could be
+prose.
 """
 
 from __future__ import annotations
@@ -35,16 +37,26 @@ TRAILING_FRAGMENT_RES: list[re.Pattern] = [
 ]
 
 
-# every fragment pattern needs one of these words somewhere near the block
-# end; a C-level substring scan of the tail skips the regex fixpoint loop
+# interior share chains: ≥2 share words joined by EXPLICIT separators
+# (pipes/bullets), surrounded by whitespace on both sides; replaced by a
+# single space so the flanking prose joins cleanly
+# the lookbehind stops a sub-chain match inside a longer chain that starts
+# at position 0 (e.g. "Share | Tweet | Email is…" must not lose " Tweet |
+# Email " while keeping its head)
+_INTERIOR_FRAGMENT_RE = re.compile(
+    rf"(?<![|·•/])\s{_SHARE_WORDS}(?:\s*[|·•/]\s*{_SHARE_WORDS})+\s"
+)
+
+# every fragment pattern needs one of these words somewhere in the block;
+# a C-level substring scan skips the regex work entirely
 _GUARD_WORDS = ("share", "tweet", "pin", "email", "print", "save", "like",
                 "follow us", "read more", "continue reading", "related")
 
 
 def refine_text(text: str) -> tuple[str, bool]:
-    """Strip trailing boilerplate fragments; returns (text, refined)."""
-    tail = text[-160:].lower()
-    if not any(w in tail for w in _GUARD_WORDS):
+    """Strip trailing + interior boilerplate fragments; (text, refined)."""
+    lowered = text.lower()
+    if not any(w in lowered for w in _GUARD_WORDS):
         return text, False
     refined = False
     changed = True
@@ -54,4 +66,7 @@ def refine_text(text: str) -> tuple[str, bool]:
             new = rx.sub("", text)
             if new != text:
                 text, refined, changed = new, True, True
+    new = _INTERIOR_FRAGMENT_RE.sub(" ", text)
+    if new != text:
+        text, refined = new, True
     return text.rstrip(), refined

@@ -1,6 +1,7 @@
-"""M4-analogue refinement: trailing boilerplate fragments inside accepted
-blocks are stripped conservatively (reference refinement.py semantics:
-keep coherent mass, flag for review, never touch interior text)."""
+"""M4-analogue refinement (reference refinement.py:41-120 semantics):
+trailing fragments stripped with loose separators; INTERIOR share chains
+stripped only when explicitly pipe/bullet-delimited and whitespace-flanked
+— coherent prose is never deleted."""
 
 from martial_arts_ocr_spark.kernel.pipeline import extract_document
 from martial_arts_ocr_spark.kernel.refine import refine_text
@@ -24,11 +25,40 @@ def test_read_more_tail_stripped():
     assert r is True
 
 
-def test_interior_fragment_untouched():
+def test_interior_delimited_chain_stripped():
+    t, r = refine_text(
+        "First sentence ends. Share | Tweet | Email Second sentence follows."
+    )
+    assert t == "First sentence ends. Second sentence follows."
+    assert r is True
+
+
+def test_interior_chain_at_string_start_kept():
+    # no leading whitespace → not an embedded fragment; could be a block
+    # that legitimately begins with these words
     s = "Share | Tweet | Email is what the buttons say, and the text goes on."
     t, r = refine_text(s)
     assert t == s
     assert r is False
+
+
+def test_interior_undelimited_words_kept():
+    # space-separated share words inside prose are NOT stripped (interior
+    # conservatism: explicit separators required)
+    s = "We decided to Share Tweet Email with everyone at the meeting today."
+    t, r = refine_text(s)
+    assert t == s
+    assert r is False
+
+
+def test_pipeline_interior_refinement():
+    html = (b"<p>A perfectly ordinary paragraph with enough words for the "
+            b"scorer to accept it easily. Share | Tweet | Email The story "
+            b"then continues with a second thought.</p>")
+    row = extract_document("https://x.test/refine-interior", html)
+    assert row["n_refined"] == 1
+    assert "Share | Tweet" not in row["text"]
+    assert "accept it easily. The story then continues" in row["text"]
 
 
 def test_stacked_tails_both_stripped():
