@@ -102,6 +102,12 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer costs land here, not in query 1
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # spawn the Python UDF workers too (same steady-state rationale as the
+    # extraction warmup): the first pandas-UDF query otherwise pays ~2 s of
+    # one-time worker fork/import on all CPUS slots
+    spark.range(CPUS * 8).repartition(CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         per_query[name] = time_query(ALL_QUERIES[name], spark, SF_DIR)

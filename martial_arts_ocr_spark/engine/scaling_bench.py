@@ -57,17 +57,29 @@ spark.stop()
 
 
 def prepare_pages(pages_path: str, n_docs: int, n_files: int = 32) -> None:
-    """Write the ingest-partitioned pages table once (idempotent)."""
+    """Write the host-bucketed pages table once (idempotent per path;
+    run_scaling keys the path by n_docs so a size change regenerates).
+
+    Files are clustered by the SALTED host key — the same Iceberg
+    ``bucket(host)`` ingest-spec the zero-shuffle extraction path assumes
+    (the hot host is salted so no single file carries its full 30% share).
+    """
     if os.path.isdir(pages_path) and any(
         f.endswith(".parquet") for f in os.listdir(pages_path)
     ):
         return
+    from ..fixtures.gen_pages import HOT_HOST, pages_spark
+    from .job import with_host, with_salted_key
     from .session import build_session
-    from ..fixtures.gen_pages import pages_spark
 
     spark = build_session(master="local[16]", app_name="scaling-prep")
     spark.sparkContext.setLogLevel("ERROR")
-    (pages_spark(spark, n_docs, partitions=n_files)
+    df = with_salted_key(
+        with_host(pages_spark(spark, n_docs, partitions=n_files)),
+        hot_hosts=[HOT_HOST],
+    )
+    (df.repartition(n_files, "part_key")
+     .drop("host", "part_key")
      .write.mode("overwrite").parquet(pages_path))
     spark.stop()
 
@@ -92,6 +104,7 @@ def _measure(master: str, parts: int, pages_path: str,
 def run_scaling(pages_path: str = "/tmp/spark_graft_scaling_pages",
                 n_docs: int = 32000) -> dict:
     """N=1×2 vs 4N=4×2 executors; returns the BENCH 'scaling' block."""
+    pages_path = f"{pages_path}_{n_docs}"     # size change → fresh table
     prepare_pages(pages_path, n_docs)
     lo = _measure("local-cluster[1,2,4096]", 8, pages_path)
     hi = _measure("local-cluster[4,2,4096]", 32, pages_path)

@@ -94,7 +94,7 @@ class Block:
 class _Frame:
     tag: str
     path: str
-    sig: str
+    cls: str               # raw class attr; sibling_sig built lazily per block
     chrome_tag: bool
     chrome_class: bool
     figure: bool
@@ -159,7 +159,7 @@ class _BlockParser(HTMLParser):
             is_list_item=tag in {"li", "dt", "dd"},
             is_figure=frame.figure,
             parent_path=self.stack[-2].path if len(self.stack) >= 2 else "",
-            sibling_sig=frame.sig,
+            sibling_sig=f"{frame.tag}.{frame.cls.strip()}",
         )
 
     # -- HTMLParser hooks ---------------------------------------------------
@@ -191,8 +191,7 @@ class _BlockParser(HTMLParser):
             tag in _FIGURE_TAGS
         )
         path = self._path(tag)
-        sig = f"{tag}.{(cls or '').strip()}"
-        frame = _Frame(tag, path, sig, chrome_tag, chrome_cls, figure)
+        frame = _Frame(tag, path, cls or "", chrome_tag, chrome_cls, figure)
         self.stack.append(frame)
 
         if tag == "a":
@@ -252,7 +251,7 @@ class _BlockParser(HTMLParser):
                 return
             # bare text outside any block tag: synthesize an implicit block
             frame = self.stack[-1] if self.stack else _Frame(
-                "body", "body[1]", "body.", False, False, False
+                "body", "body[1]", "", False, False, False
             )
             self._open_block(frame.tag if frame.tag in BLOCK_TAGS else "div", frame)
         self.cur.text += data

@@ -280,26 +280,46 @@ def _minhash_udf():
     return mh
 
 
+def minhash_band_keys_batch(text: pd.Series) -> pd.Series:
+    """Per-doc band keys: the 32-perm signature folded into _MINHASH_BANDS
+    64-bit FNV-mixed keys. Equal signatures ⇒ equal keys; 64-bit keys over
+    ~10^5 candidate groups make collisions negligible (and a collision only
+    ever ADDS a candidate pair, which exact verification then rejects).
+    Shipping 8 ints/doc instead of 32 + doing the fold in numpy replaces
+    the JVM-side 32-getItem + concat_ws banding."""
+    import numpy as np
+
+    sigs = minhash_signatures_batch(text)
+    if sigs.empty:
+        return sigs
+    arr = np.asarray([s for s in sigs], dtype=np.uint64)
+    arr = arr.reshape(len(arr), _MINHASH_BANDS, -1)
+    keys = np.full(arr.shape[:2], 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(arr.shape[2]):
+            keys = (keys ^ arr[:, :, j]) * np.uint64(0x100000001B3)
+    signed = keys.view(np.int64)
+    return pd.Series([row.tolist() for row in signed])
+
+
+def _minhash_band_keys_udf():
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def mhb(text: pd.Series) -> pd.Series:
+        return minhash_band_keys_batch(text)
+
+    return mhb
+
+
 def _minhash_band_groups(spark, sf_dir):
     """Internal: candidate groups with the doc list as an array column.
     Used by the verified-pairs pipeline; NOT registered directly — the
     driver's canonicalizer cannot sort array-typed columns (the one red
     row in CORRECTNESS_r01)."""
     d = _docs(spark, sf_dir)
-    mh = _minhash_udf()
-    sigs = d.select("doc_id", mh(F.col("text")).alias("sig"))
-    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.concat_ws(",", *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ])
-                for b in range(_MINHASH_BANDS)
-            ])
-        ).alias("band", "band_key"),
+    mhb = _minhash_band_keys_udf()
+    keys = d.select("doc_id", mhb(F.col("text")).alias("band_keys"))
+    bands = keys.select(
+        "doc_id", F.posexplode(F.col("band_keys")).alias("band", "band_key")
     )
     return (
         bands.groupBy("band", "band_key")

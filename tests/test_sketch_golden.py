@@ -62,6 +62,26 @@ def test_simhash_batch_order_invariance():
     assert solo.iloc[0] == _GOLDEN_SH[3]
 
 
+def test_band_keys_group_equivalently_to_string_bands():
+    """The FNV-folded band keys must induce exactly the banding the
+    round-1 string keys did: docs agree on band key b iff their signature
+    rows for band b are all equal."""
+    from martial_arts_ocr_spark.queries.similarity import (
+        _MINHASH_BANDS, minhash_band_keys_batch)
+
+    texts = _TEXTS + [_TEXTS[0], _TEXTS[3], "the quick brown fox jumps over"]
+    sigs = minhash_signatures_batch(pd.Series(texts))
+    keys = minhash_band_keys_batch(pd.Series(texts))
+    rows = 32 // _MINHASH_BANDS
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            for b in range(_MINHASH_BANDS):
+                same_sig = (sigs[i][b * rows:(b + 1) * rows]
+                            == sigs[j][b * rows:(b + 1) * rows])
+                same_key = keys[i][b] == keys[j][b]
+                assert same_sig == same_key, (i, j, b)
+
+
 def test_minhash_batch_order_invariance():
     rev = minhash_signatures_batch(pd.Series(list(reversed(_TEXTS))))
     assert list(rev.iloc[-1]) == _GOLDEN_MH0
