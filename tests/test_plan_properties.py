@@ -40,3 +40,31 @@ def test_column_pruning_reaches_scan(spark):
 def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(spark, "ann_cosine_top10")
     assert "TakeOrderedAndProject" in _plan(spark, "top_revenue_customers")
+
+
+def test_lsh_pair_join_is_equi_not_cartesian(spark):
+    """Bucketed near-dup joins must hash-partition on the bucket key —
+    a cartesian/BNL join here would be the 100 TB scale-killer."""
+    for q in ("cosine_neardup_pairs", "lsh_bucket_candidates"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_probe_queries_have_no_driver_side_rows(spark):
+    """The extraction probe queries synthesize pages JVM-side from the
+    documents scan — a LocalTableScan of materialized rows would mean
+    driver-side generation sneaked back in."""
+    for q in ("extract_ja_segments", "extract_figures",
+              "extract_macron_candidates", "host_profiles"):
+        plan = _plan(spark, q)
+        assert "LocalTableScan" not in plan, q
+        assert "Scan parquet" in plan or "FileScan parquet" in plan, q
+
+
+def test_extraction_prunes_html_after_udf(spark):
+    """html (the giant binary column) must not survive past mapInPandas:
+    no output schema downstream of the UDF may carry it."""
+    plan = _plan(spark, "extract_documents")
+    seg = plan.split("MapInPandas")[0]      # operators ABOVE the UDF
+    assert "html" not in seg, seg[:500]
