@@ -400,6 +400,59 @@ def q_simhash(spark, sf_dir):
     )
 
 
+_SIMHASH_BANDS = 4          # 4 × 16-bit bands over the 64-bit fingerprint
+_SIMHASH_MAX_HAMMING = 8
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pipeline: fingerprint → 16-bit band buckets →
+    equi-join candidates → exact Hamming (JVM bit_count(xor)) ≤ 8.
+
+    The 100 TB shape: banding turns Hamming search into bucket equi-joins
+    (a pair within Hamming 8 of a 64-bit fingerprint shares at least one
+    of 4 bands unless the flips split exactly 2+ per band — standard LSH
+    recall trade); exact verification runs only inside buckets. The demo
+    corpus is `documents` unioned with a one-suffix perturbation of itself
+    (doc_id + 100000) so deterministic true near-dups exist; at scale the
+    input is the corpus itself. Rows-only (simhash not SQL-expressible).
+    """
+    sh = _simhash_udf()
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate suffix")).alias("text"),
+    )
+    sigs = d.unionByName(pert).select(
+        "doc_id", sh(F.col("text")).alias("simhash")
+    )
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(_SIMHASH_BANDS)
+        ])).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     """Full near-dup pipeline: MinHash bands → candidate pairs → exact
     token-Jaccard verification ≥ 0.5. The 100 TB shape: the expensive
@@ -437,6 +490,7 @@ QUERIES = {
     "lsh_bucket_candidates": q_lsh_bucket_candidates,
     "minhash_bands": q_minhash_bands,
     "simhash": q_simhash,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
 }
 
 ORACLES = {
