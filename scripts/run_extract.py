@@ -4,7 +4,7 @@
 Usage (north-rule launch shape)::
 
     zip -r engine.zip martial_arts_ocr_spark
-    spark-submit --py-files engine.zip \
+    spark-submit --driver-memory 8g --py-files engine.zip \
         [--master spark://... | yarn] \
         scripts/run_extract.py \
         --pages /path/to/pages_parquet --warehouse /path/to/warehouse \
