@@ -15,7 +15,8 @@ _tags = st.sampled_from(
     ["<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "<br>",
      "<script>", "</script>", "<figure>", "</figcaption>", "<nav>", "<b>",
      "<li>", "</ul>", "<meta charset='utf-8'>", "<!--", "-->", "<![CDATA[",
-     "<h1>", "</h2>", "<table>", "<td>"]
+     "<h1>", "</h2>", "<table>", "<td>",
+     "<iframe/>", "<script/>", "<object>", "<noscript/>", "</object>"]
 )
 _texts = st.text(max_size=80)
 _soup = st.lists(st.one_of(_tags, _texts), max_size=40).map("".join)
