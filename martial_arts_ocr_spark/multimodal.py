@@ -42,16 +42,106 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_media(content: bytes, media_type: str) -> dict:
-    """STUB — real decode requires PIL/cv2/ffmpeg, absent in this container.
+# --- real codec: binary PPM (P6) — pure stdlib + numpy ---------------------------
+#
+# One genuinely decodable image format so the decode → feature-extract →
+# resize → frame-sample plumbing runs REAL pixel math end-to-end in this
+# container; JPEG/PNG/audio/video codecs remain behind the labeled stub
+# below (no PIL/cv2/ffmpeg here).
 
-    Deterministic fake: 8 float features derived from a content hash, so
-    the downstream plumbing (schema, batching, joins, ANN over features)
-    is exercised with stable values. Swap this function for the real
-    decoder on a cluster with codec libraries installed.
+_PPM_MAGIC = b"P6"
+
+
+def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Solid-color binary PPM (the deterministic synthetic image)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def decode_ppm(content: bytes):
+    """Parse one binary PPM frame → (width, height, HxWx3 uint8 array,
+    bytes_consumed). Raises ValueError on malformed input."""
+    import numpy as np
+
+    if not content.startswith(_PPM_MAGIC):
+        raise ValueError("not a P6 ppm")
+    # header = magic, width, height, maxval — whitespace-separated tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":              # comment line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1                                          # single ws after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported ppm")
+    n = w * h * 3
+    raw = content[pos:pos + n]
+    if len(raw) < n:
+        raise ValueError("truncated ppm")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, arr, pos + n
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize via index maps (real pixel op, no PIL)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def sample_frames(content: bytes, every_k: int = 2) -> list:
+    """Frame-sample a 'video' = concatenated PPM frames: decode
+    sequentially, keep every k-th frame (real parsing, bounded work)."""
+    frames, pos = [], 0
+    idx = 0
+    while pos < len(content) and content[pos:pos + 2] == _PPM_MAGIC:
+        w, h, arr, consumed = decode_ppm(content[pos:])
+        if idx % every_k == 0:
+            frames.append(arr)
+        pos += consumed
+        idx += 1
+    return frames
+
+
+def decode_media(content: bytes, media_type: str) -> dict:
+    """Decode a media blob into 8 float features.
+
+    PPM images (and PPM-frame 'videos') decode for REAL: features are
+    [width, height, mean_r, mean_g, mean_b, grayscale std, aspect,
+    n_frames] from actual pixels. Every other format is a STUB — real
+    decode requires PIL/cv2/ffmpeg, absent in this container — yielding
+    deterministic hash-derived features so downstream plumbing (schema,
+    batching, joins, ANN over features) still runs with stable values.
+    Swap the stub arm for real decoders on a cluster with codec libs.
     """
+    import numpy as np
+
     if not content:
         raise NotImplementedError("empty media content")
+    if content.startswith(_PPM_MAGIC):
+        if media_type == "video":
+            frames = sample_frames(content, every_k=1)
+            arr, n_frames = frames[0], len(frames)
+        else:
+            _w, _h, arr, _ = decode_ppm(content)
+            n_frames = 1
+        h, w = arr.shape[:2]
+        means = arr.reshape(-1, 3).mean(axis=0)
+        gray = arr.astype(np.float64).mean(axis=2)
+        feats = [float(w), float(h), float(means[0]), float(means[1]),
+                 float(means[2]), float(gray.std()), float(w) / float(h),
+                 float(n_frames)]
+        return {"decode_ok": True, "features": feats}
     digest = hashlib.sha256(content).digest()
     feats = [
         int.from_bytes(digest[i:i + 4], "little") / 2**32

@@ -12,12 +12,12 @@ Determinism rules applied everywhere:
   would otherwise hash differently from Spark's bigint).
 """
 
-from . import (extended, extraction, lineage, neardup, relational,
+from . import (extended, extraction, lineage, media, neardup, relational,
                similarity, textops)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
 for mod in (relational, textops, similarity, neardup, extended, extraction,
-            lineage):
+            lineage, media):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))

@@ -1,0 +1,83 @@
+"""Multimodal queries over real (PPM) pixel decoding, oracle-checked.
+
+The media table is synthesized ON EXECUTORS from `documents` doc_ids
+(solid-color PPM images whose size/color are doc_id arithmetic), decoded
+back by the REAL codec path (multimodal.decode_ppm — actual pixel math),
+so width/height/channel means are exact SQL. Same encode→decode roundtrip
+discipline as extract_roundtrip: the generator and the decoder being
+inverse IS the check.
+
+Reference analogue: the crop/extract media path
+(``/root/reference/src/martial_arts_ocr/pipeline/extraction_service.py:
+44-144``) — binary raster in, typed records out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..multimodal import decode_media, encode_ppm
+
+
+def _media_from_documents(spark, sf_dir: str):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 16, 8 + did % 8
+                rgb = ((did * 7) % 256, (did * 13) % 256, (did * 29) % 256)
+                rows.append((did, encode_ppm(w, h, rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.repartition(8, "doc_id").mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """PPM decode → per-image features; binary pruned after the UDF (the
+    html-column discipline). Solid-color synthesis makes every feature
+    integer-exact in SQL."""
+    media = _media_from_documents(spark, sf_dir)
+
+    def feats(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_media(bytes(content), "image")
+                f = dec["features"]
+                rows.append((int(mid), int(f[0]), int(f[1]),
+                             round(f[2], 4), round(f[3], 4), round(f[4], 4)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            ])
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, width long, height long, mean_r double, "
+        "mean_g double, mean_b double",
+    ).orderBy("media_id")
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 16 AS BIGINT) AS width,
+       CAST(8 + doc_id % 8 AS BIGINT) AS height,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+FROM documents ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "media_features": ORACLE_MEDIA_FEATURES,
+}

@@ -34,3 +34,44 @@ def test_media_empty_content_flagged(spark):
     assert rows[0].decode_ok is False
     assert rows[0].features is None
     assert rows[1].decode_ok is True
+
+
+def test_ppm_codec_real_pixels():
+    """The PPM arm is a REAL decoder: pixel values round-trip exactly."""
+    import numpy as np
+
+    from martial_arts_ocr_spark.multimodal import (
+        decode_media, decode_ppm, encode_ppm, resize_nearest, sample_frames)
+
+    blob = encode_ppm(6, 4, (10, 200, 30))
+    w, h, arr, consumed = decode_ppm(blob)
+    assert (w, h, consumed) == (6, 4, len(blob))
+    assert arr.shape == (4, 6, 3)
+    assert (arr[2, 3] == np.array([10, 200, 30])).all()
+
+    f = decode_media(blob, "image")["features"]
+    assert f[:5] == [6.0, 4.0, 10.0, 200.0, 30.0]
+    assert f[5] == 0.0 and f[7] == 1.0            # solid → zero std, 1 frame
+
+    small = resize_nearest(arr, 3, 2)
+    assert small.shape == (2, 3, 3) and (small == arr[0, 0]).all()
+
+    video = encode_ppm(2, 2, (1, 2, 3)) + encode_ppm(2, 2, (4, 5, 6)) \
+        + encode_ppm(2, 2, (7, 8, 9))
+    frames = sample_frames(video, every_k=2)      # frames 0 and 2
+    assert len(frames) == 2
+    assert frames[1][0, 0, 0] == 7
+    fv = decode_media(video, "video")["features"]
+    assert fv[7] == 3.0                           # all frames counted
+
+
+def test_ppm_comment_header_and_truncation():
+    import pytest
+
+    from martial_arts_ocr_spark.multimodal import decode_ppm, encode_ppm
+
+    blob = b"P6\n# a comment\n3 2\n255\n" + bytes((9, 9, 9)) * 6
+    w, h, arr, _ = decode_ppm(blob)
+    assert (w, h) == (3, 2) and arr[1, 2, 0] == 9
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(4, 4, (1, 1, 1))[:-5])
