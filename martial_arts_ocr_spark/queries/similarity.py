@@ -402,6 +402,7 @@ def q_simhash(spark, sf_dir):
 
 _SIMHASH_BANDS = 4          # 4 × 16-bit bands over the 64-bit fingerprint
 _SIMHASH_MAX_HAMMING = 8
+_NEARDUP_SUFFIX = " near duplicate suffix"   # shared with the SQL oracle
 
 
 def q_simhash_neardup_pairs(spark, sf_dir):
@@ -420,7 +421,7 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     pert = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" near duplicate suffix")).alias("text"),
+        F.concat("text", F.lit(_NEARDUP_SUFFIX)).alias("text"),
     )
     sigs = d.unionByName(pert).select(
         "doc_id", sh(F.col("text")).alias("simhash")
@@ -493,11 +494,193 @@ QUERIES = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
 }
 
+# --- exact SQL oracles for the md5-based sketches ---------------------------------
+#
+# DuckDB's md5_number_upper(s) equals Python int.from_bytes(md5(s)[:8],
+# "little"), so _stable_hash64 IS expressible; the wrapping int64 multiply
+# of the minhash permutation is emulated in HUGEINT mod 2^64, and the FNV
+# band fold is unrolled step by step. Constants (perm a/b, FNV seed/prime)
+# are baked as literals from the same fixed-seed generator the UDF uses.
+
+_TWO63, _TWO64 = 1 << 63, 1 << 64
+_P61 = (1 << 61) - 1
+_FNV_SEED_SIGNED = 0xCBF29CE484222325 - _TWO64
+_FNV_PRIME = 0x100000001B3
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+
+def _fnv_step_sql(k_expr: str, v_expr: str) -> str:
+    x = f"xor({k_expr}, {v_expr})"
+    ux = (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_TWO64} "
+          f"ELSE CAST({x} AS HUGEINT) END)")
+    uk = f"(({ux} * {_FNV_PRIME}) % {_TWO64})"
+    return (f"CAST(CASE WHEN {uk} >= {_TWO63} THEN {uk} - {_TWO64} "
+            f"ELSE {uk} END AS BIGINT)")
+
+
+def _minhash_keyed_cte() -> str:
+    """Shared WITH-body computing (doc_id, band, band_key) in DuckDB,
+    bit-identical to the Spark UDF pipeline."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _P61, size=_MINHASH_PERMS, dtype=np.int64) | 1
+    b = rng.randint(0, _P61, size=_MINHASH_PERMS, dtype=np.int64)
+    perm_rows = ", ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(_MINHASH_PERMS)
+    )
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    fold = str(_FNV_SEED_SIGNED)
+    for i in range(rows_per_band):
+        fold = _fnv_step_sql(fold, f"s{i}")
+    piv_cols = ",\n         ".join(
+        f"max(CASE WHEN j % {rows_per_band} = {i} THEN sig END) AS s{i}"
+        for i in range(rows_per_band)
+    )
+    return f"""
+perms(j, a, b) AS (VALUES {perm_rows}),
+toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= {_SHINGLE} THEN
+      list_transform(generate_series(1, len(ts) - {_SHINGLE - 1}),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      ELSE [text] END) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT DISTINCT doc_id,
+         CAST(md5_number_upper(shingle) & {_MASK63} AS BIGINT) AS s
+  FROM shingles
+),
+vals AS (
+  SELECT h.doc_id, p.j,
+         ((CAST(p.a AS HUGEINT) * h.s + p.b) % {_TWO64}) AS w
+  FROM hashed h CROSS JOIN perms p
+),
+sigs AS (
+  SELECT doc_id, j,
+         CAST(min(((CASE WHEN w >= {_TWO63} THEN w - {_TWO64} ELSE w END
+                    % {_P61}) + {_P61}) % {_P61}) AS BIGINT) AS sig
+  FROM vals GROUP BY doc_id, j
+),
+piv AS (
+  SELECT doc_id, j // {rows_per_band} AS band,
+         {piv_cols}
+  FROM sigs GROUP BY doc_id, j // {rows_per_band}
+),
+keyed AS (
+  SELECT doc_id, band, {fold} AS band_key FROM piv
+)"""
+
+
+def _minhash_bands_oracle() -> str:
+    return f"""
+WITH {_minhash_keyed_cte()}
+SELECT CAST(band AS INT) AS band,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+       CAST(count(*) AS BIGINT) AS n
+FROM keyed GROUP BY band, band_key HAVING count(*) > 1
+ORDER BY band, doc_ids
+"""
+
+
+def _minhash_verified_pairs_oracle() -> str:
+    return f"""
+WITH {_minhash_keyed_cte()},
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keyed x JOIN keyed y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+tsets AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tk
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.tk, b.tk))), 5) AS jaccard
+FROM pairs p JOIN tsets a ON a.doc_id = p.doc_a
+             JOIN tsets b ON b.doc_id = p.doc_b
+WHERE round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.tk, b.tk))), 5) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_sql_ctes(source_sql: str) -> str:
+    """CTE chain computing (doc_id, simhash) over `source_sql` rows of
+    (doc_id, text) — bit-identical to simhash_batch."""
+    return f"""
+corpus AS ({source_sql}),
+stoks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM corpus)
+  WHERE tok <> ''
+), sbits AS (
+  SELECT t.doc_id, g.bit,
+         sum(CASE WHEN ((CAST(md5_number_upper(t.tok) & {_MASK63}
+                         AS BIGINT) >> g.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM stoks t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) g
+  GROUP BY t.doc_id, g.bit
+), spacked AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM sbits GROUP BY doc_id
+), simhashed AS (
+  SELECT doc_id, CAST(CASE WHEN u >= {_TWO63} THEN u - {_TWO64}
+         ELSE u END AS BIGINT) AS simhash
+  FROM spacked
+)"""
+
+
+ORACLE_SIMHASH = f"""
+WITH {_simhash_sql_ctes(
+    "SELECT doc_id, text FROM documents WHERE doc_id < 50")}
+SELECT doc_id, simhash FROM simhashed ORDER BY doc_id
+"""
+
+
+def _simhash_neardup_oracle() -> str:
+    src = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 100000, text || '{_NEARDUP_SUFFIX}' FROM documents"
+    )
+    return f"""
+WITH {_simhash_sql_ctes(src)},
+sbands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (16 * b.band)) & 65535 AS band_val
+  FROM simhashed CROSS JOIN
+       (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS band) b
+),
+scands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM sbands x JOIN sbands y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM scands WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 ORACLES = {
     "ann_cosine_top10": ORACLE_ANN,
     "embedding_norms": ORACLE_NORMS,
     # hyperplane matrix baked into the SQL as literals (fixed seed)
     "lsh_bucket_candidates": _lsh_oracle_sql(),
-    # minhash/simhash: md5 + wrapping int64 arithmetic not SQL-expressible
-    # → rows-only driver check
+    # md5-based sketches: DuckDB md5_number_upper == the UDFs'
+    # _stable_hash64, so even these are oracle-EXACT (wrapping int64
+    # arithmetic emulated in HUGEINT)
+    "simhash": ORACLE_SIMHASH,
+    "simhash_neardup_pairs": _simhash_neardup_oracle(),
+    "minhash_bands": _minhash_bands_oracle(),
+    "minhash_verified_pairs": _minhash_verified_pairs_oracle(),
 }
