@@ -86,17 +86,23 @@ def cleaning_stats(original: str, cleaned: str) -> dict:
 def layout_stats(decisions) -> dict:
     """A11 (utils/image/layout/analyzer.py:367-402): block counts and
     coverage fractions — the char-span analogue of page-area coverage."""
-    total = sum(d.block.n_chars for d in decisions)
-    acc = sum(d.block.n_chars for d in decisions if d.accept)
-    fig = sum(d.block.n_chars for d in decisions if d.block.is_figure)
-    chrome = sum(
-        d.block.n_chars for d in decisions
-        if d.block.in_chrome_tag or d.block.chrome_class
-    )
+    total = acc = fig = chrome = n_accepted = n_figure = 0
+    for d in decisions:                    # single pass over the decisions
+        b = d.block
+        n = len(b.text)
+        total += n
+        if d.accept:
+            acc += n
+            n_accepted += 1
+        if b.is_figure:
+            fig += n
+            n_figure += 1
+        if b.in_chrome_tag or b.chrome_class:
+            chrome += n
     return {
         "n_blocks_total": len(decisions),
-        "n_accepted": sum(1 for d in decisions if d.accept),
-        "n_figure_blocks": sum(1 for d in decisions if d.block.is_figure),
+        "n_accepted": n_accepted,
+        "n_figure_blocks": n_figure,
         "content_coverage": round(acc / total, 6) if total else 0.0,
         "figure_coverage": round(fig / total, 6) if total else 0.0,
         "chrome_coverage": round(chrome / total, 6) if total else 0.0,

@@ -58,18 +58,44 @@ class Verdict:
     score: float = 0.0
 
 
+# punct chars counted by C-level translate-delete on ASCII text: the table
+# deletes every ASCII ordinal the punct regex does NOT match, so
+# len(translate(...)) == len(findall(...)) by construction
+_ASCII_NONPUNCT_DEL = {
+    i: None for i in range(128) if not _PUNCT_RE.match(chr(i))
+}
+
+
+def _raw_features(text: str, lowered: str, is_ascii: bool):
+    """Shared counting core: (n, n_words, n_stop, word_chars, n_punct, n_ja)."""
+    n = len(text)
+    words = _WORD_RE.findall(lowered)
+    n_words = len(words)
+    n_stop = sum(map(STOPWORDS.__contains__, words)) if n_words else 0
+    word_chars = sum(map(len, words)) if n_words else 0
+    if is_ascii:
+        n_punct = len(text.translate(_ASCII_NONPUNCT_DEL))
+        n_ja = 0          # ja class is entirely non-ASCII
+    else:
+        n_punct = len(_PUNCT_RE.findall(text))
+        n_ja = len(_JA_RE.findall(text))
+    return n, n_words, n_stop, word_chars, n_punct, n_ja
+
+
+def _boiler_phrase(text: str, lowered: str) -> bool:
+    return bool(
+        any(g in lowered for g in _BOILER_GUARDS)
+        and BOILER_PHRASES_RE.search(text)
+    )
+
+
 def block_features(b: Block) -> dict:
     """Vectorizable per-block features (analogue of text_like_metrics)."""
     text = b.text
-    n = len(text)
     lowered = text.lower()
-    words = _WORD_RE.findall(lowered)
-    n_words = len(words)
-    n_stop = sum(map(STOPWORDS.__contains__, words))
-    n_punct = len(_PUNCT_RE.findall(text))
-    # ja scan skipped on pure-ASCII blocks (str.isascii is C-speed; the ja
-    # class is entirely non-ASCII, so the count is provably 0)
-    n_ja = 0 if text.isascii() else len(_JA_RE.findall(text))
+    n, n_words, n_stop, word_chars, n_punct, n_ja = _raw_features(
+        text, lowered, text.isascii()
+    )
     return {
         "n_chars": n,
         "n_words": n_words,
@@ -77,11 +103,8 @@ def block_features(b: Block) -> dict:
         "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
         "punct_ratio": (n_punct / n) if n else 0.0,
         "ja_ratio": (n_ja / n) if n else 0.0,
-        "avg_word_len": (sum(map(len, words)) / n_words) if n_words else 0.0,
-        "boiler_phrase": bool(
-            any(g in lowered for g in _BOILER_GUARDS)
-            and BOILER_PHRASES_RE.search(text)
-        ),
+        "avg_word_len": (word_chars / n_words) if n_words else 0.0,
+        "boiler_phrase": _boiler_phrase(text, lowered),
     }
 
 
@@ -91,29 +114,37 @@ def score_block(b: Block) -> Verdict:
     Mirrors the reference's reject-with-reason style: every failed rule
     appends a reason; acceptance requires no hard-reject rule fired.
     """
-    if len(b.text) < MIN_BLOCK_CHARS:       # pre-gate before feature work
+    text = b.text
+    if len(text) < MIN_BLOCK_CHARS:         # pre-gate before feature work
         return Verdict(False, 0.95, ("too_short",))
-    f = block_features(b)
+    lowered = text.lower()
+    n, n_words, n_stop, _wc, n_punct, n_ja = _raw_features(
+        text, lowered, text.isascii()
+    )
+    link_density = b.link_density
+    stopword_ratio = (n_stop / n_words) if n_words else 0.0
+    punct_ratio = (n_punct / n) if n else 0.0
+    ja_ratio = (n_ja / n) if n else 0.0
     reasons: list[str] = []
 
     # hard rejections (density analogues of text_filter hard rules)
-    if f["link_density"] > 0.66:
+    if link_density > 0.66:
         reasons.append("link_farm")
-    if f["boiler_phrase"] and f["n_chars"] < 200:
+    if n < 200 and _boiler_phrase(text, lowered):
         reasons.append("boilerplate_phrase")
-    if f["punct_ratio"] > 0.5 and f["ja_ratio"] < 0.05:
+    if punct_ratio > 0.5 and ja_ratio < 0.05:
         reasons.append("punct_noise")
-    if f["n_words"] == 0 and f["ja_ratio"] < 0.05:
+    if n_words == 0 and ja_ratio < 0.05:
         reasons.append("no_words")
 
     # additive content score (weights mirror _candidate_scores structure,
     # text_filter.py:464-555: several bounded feature terms summed)
     score = 0.0
-    score += min(f["n_chars"] / 200.0, 1.0) * 0.35
-    score += (1.0 - min(f["link_density"] / 0.66, 1.0)) * 0.30
-    content_lang = max(f["stopword_ratio"], f["ja_ratio"] * 2.0)
+    score += min(n / 200.0, 1.0) * 0.35
+    score += (1.0 - min(link_density / 0.66, 1.0)) * 0.30
+    content_lang = max(stopword_ratio, ja_ratio * 2.0)
     score += min(content_lang / 0.4, 1.0) * 0.25
-    score += (1.0 - min(f["punct_ratio"] / 0.5, 1.0)) * 0.10
+    score += (1.0 - min(punct_ratio / 0.5, 1.0)) * 0.10
 
     if reasons:
         return Verdict(False, min(0.5 + 0.1 * len(reasons), 0.95),

@@ -26,13 +26,23 @@ from html import unescape
 # stdlib html.parser stays pinned by tests/test_fast_html_equivalence.py.
 _OPEN_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"((?:\s+[^<>\s\"'][^<>\s=]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    # attr name may not start with "/" and an unquoted value may not start
+    # with a quote — html.parser's attrfind_tolerant refuses both, falling
+    # into junk-tag handling instead (mirrored by _tolerant_starttag)
+    # bare values may not start with a quote OR '=' — the '=' exclusion stops
+    # the required trailing '>' from backtracking '=+' into the bare value
+    # (stdlib's anchorless attrfind never backtracks there); narrowing the
+    # strict regex is always safe — rejected inputs fall to the exact
+    # stdlib-tolerant mirror below
+    r"((?:\s+[^<>\s\"'/][^<>\s=/]*"
+    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]*))?)*)"
     r"\s*(/)?>"
 )
 _CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
 _ATTR_RE = re.compile(
-    r"([^<>\s\"'][^<>\s=]*)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    r"([^<>\s\"'/][^<>\s=/]*)"
+    r"(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|((?!['\"])[^\s>]*)))?"
 )
 
 # only these attributes influence segmentation — skip attr parsing unless
@@ -43,6 +53,126 @@ _RAWTEXT_END = {
     "script": re.compile(r"</script\s*>", re.I),
     "style": re.compile(r"</style\s*>", re.I),
 }
+
+# --- stdlib-tolerant fallback (html/parser.py:36-54,300-405 mirrors) --------
+# The strict _OPEN_RE/_CLOSE_RE cover well-formed tags; when they fail on a
+# `<letter` / `</` construct, html.parser still often recognizes a tag via
+# its *_tolerant regexes (junk attrs `<A,>`, spaced close `</ p>`, ignored
+# trailing junk `</p x>`). These mirrors keep the fast engine event-for-event
+# identical on that tail; they are exact copies of the stdlib patterns.
+_TAGFIND_TOL = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_TOL = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATE_START_TOL = re.compile(
+    r"<[a-zA-Z][^\t\n\r\f />\x00]*"
+    r"(?:[\s/]*(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
+    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)\s*)?(?:\s|/(?!>))*)*)?"
+    r"\s*"
+)
+_ENDTAGFIND_TOL = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# comment / marked-section closers (_markupbase.py:12-18 exact copies)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+
+
+def _incomplete_at_eof(handler, html_text: str, i: int) -> int:
+    """goahead()'s k<0-with-end branch (html/parser.py:183-196): the
+    construct can never complete — emit a data chunk and resume after it."""
+    k = html_text.find(">", i + 1)
+    if k < 0:
+        k = html_text.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    data = html_text[i:k]
+    handler.handle_data(unescape(data) if "&" in data else data)
+    return k
+
+
+def _tolerant_starttag(handler, html_text: str, i: int) -> int:
+    """parse_starttag + check_for_whole_start_tag mirror; returns new pos."""
+    n = len(html_text)
+    m = _LOCATE_START_TOL.match(html_text, i)
+    j = m.end()
+    nxt = html_text[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if html_text.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return _incomplete_at_eof(handler, html_text, i)
+    elif nxt == "" or nxt in (
+        "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ):
+        return _incomplete_at_eof(handler, html_text, i)
+    else:
+        endpos = j if j > i else i + 1
+
+    tm = _TAGFIND_TOL.match(html_text, i + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs: list[tuple[str, str | None]] = []
+    while k < endpos:
+        am = _ATTRFIND_TOL.match(html_text, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif (attrvalue[:1] == "'" == attrvalue[-1:]
+              or attrvalue[:1] == '"' == attrvalue[-1:]):
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = html_text[k:endpos].strip()
+    if end not in (">", "/>"):
+        # junk start tag → raw data, NOT unescaped (parse_starttag:331)
+        handler.handle_data(html_text[i:endpos])
+        return endpos
+    if end.endswith("/>"):
+        handler.handle_startendtag(tag, attrs)
+        return endpos
+    handler.handle_starttag(tag, attrs)
+    if tag in ("script", "style"):
+        rem = _RAWTEXT_END[tag].search(html_text, endpos)
+        if rem is None:
+            handler.handle_endtag(tag)
+            return n
+        handler.handle_endtag(tag)
+        return rem.end()
+    return endpos
+
+
+def _tolerant_endtag(handler, html_text: str, i: int) -> int:
+    """parse_endtag mirror for inputs _CLOSE_RE rejects; returns new pos."""
+    gt = html_text.find(">", i + 1)
+    if gt < 0:
+        return _incomplete_at_eof(handler, html_text, i)
+    gtpos = gt + 1
+    m = _ENDTAGFIND_TOL.match(html_text, i)
+    if m is not None:
+        handler.handle_endtag(m.group(1).lower())
+        return gtpos
+    nm = _TAGFIND_TOL.match(html_text, i + 2)
+    if nm is None:
+        if html_text.startswith("</>", i):
+            return i + 3
+        # bogus comment: dropped, consumed through the next '>'
+        pos = html_text.find(">", i + 2)
+        if pos == -1:
+            return _incomplete_at_eof(handler, html_text, i)
+        return pos + 1
+    handler.handle_endtag(nm.group(1).lower())
+    # trailing junk between name and '>' is consumed and ignored
+    return html_text.find(">", nm.end()) + 1
 
 
 def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
@@ -78,16 +208,22 @@ def tokenize_into(handler, html_text: str) -> None:
             handle_data(unescape(data) if "&" in data else data)
         c = html_text[lt + 1] if lt + 1 < n else ""
         if c.isalpha():                       # start tag
-            m = open_match(html_text, lt)
-            if m is None:
+            if not ("a" <= c <= "z" or "A" <= c <= "Z"):
+                # non-ASCII letter: html.parser treats '<' as literal text
                 handle_data("<")
                 pos = lt + 1
+                continue
+            m = open_match(html_text, lt)
+            if m is None:
+                # junk-tolerant tail (html.parser still sees a tag here)
+                pos = _tolerant_starttag(handler, html_text, lt)
                 continue
             tag = m.group(1).lower()
             raw_attrs = m.group(2)
             attrs = (
                 _parse_attrs(raw_attrs)
-                if raw_attrs and any(k in raw_attrs for k in _INTERESTING)
+                if raw_attrs and ("class" in raw_attrs or "id" in raw_attrs
+                                  or "alt" in raw_attrs)
                 else []
             )
             if m.group(3):
@@ -108,18 +244,37 @@ def tokenize_into(handler, html_text: str) -> None:
         elif c == "/":                        # end tag
             m = close_match(html_text, lt)
             if m is None:
-                handle_data("<")
-                pos = lt + 1
+                pos = _tolerant_endtag(handler, html_text, lt)
                 continue
             handle_endtag(m.group(1).lower())
             pos = m.end()
         elif c == "!":                        # comment / CDATA / decl
             if html_text.startswith("<!--", lt):
-                i = find("-->", lt + 4)
-                pos = i + 3 if i != -1 else n
-            elif html_text.startswith("<![CDATA[", lt):
-                i = find("]]>", lt + 9)
-                pos = i + 3 if i != -1 else n
+                m = _COMMENT_CLOSE.search(html_text, lt + 4)
+                # unterminated comment: goahead's recovery branch
+                pos = (m.end() if m
+                       else _incomplete_at_eof(handler, html_text, lt))
+            elif html_text.startswith("<![", lt):
+                # _markupbase.parse_marked_section mirror (:141-162)
+                if lt + 3 >= n:                 # _scan_name i==n → incomplete
+                    pos = _incomplete_at_eof(handler, html_text, lt)
+                    continue
+                nm = _DECLNAME.match(html_text, lt + 3)
+                if nm is None:
+                    # stdlib raises here; segment_blocks salvages the flush
+                    raise AssertionError("unknown marked-section keyword")
+                if nm.end() == n:
+                    pos = _incomplete_at_eof(handler, html_text, lt)
+                    continue
+                name = nm.group().strip().lower()
+                if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    m = _MARKED_CLOSE.search(html_text, lt + 3)
+                elif name in ("if", "else", "endif"):
+                    m = _MS_MARKED_CLOSE.search(html_text, lt + 3)
+                else:
+                    raise AssertionError("unknown marked-section keyword")
+                pos = (m.end() if m
+                       else _incomplete_at_eof(handler, html_text, lt))
             else:
                 i = find(">", lt + 2)
                 if i == -1:                   # '<!' with no '>' → literal '<'

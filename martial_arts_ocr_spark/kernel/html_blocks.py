@@ -131,12 +131,16 @@ class _BlockParser(HTMLParser):
         if self.cur is None:
             return
         raw = self.cur.text
-        lines = [
-            _SPACE_RE.sub(" ", ln).strip() if _MULTI_WS_RE.search(ln)
-            else ln.strip()
-            for ln in raw.split("\n")
-        ]
-        norm = "\n".join(ln for ln in lines if ln).strip()
+        if "\n" not in raw:                 # fast path: single-line block
+            norm = (_SPACE_RE.sub(" ", raw) if _MULTI_WS_RE.search(raw)
+                    else raw).strip()
+        else:
+            lines = [
+                _SPACE_RE.sub(" ", ln).strip() if _MULTI_WS_RE.search(ln)
+                else ln.strip()
+                for ln in raw.split("\n")
+            ]
+            norm = "\n".join(ln for ln in lines if ln).strip()
         if norm:
             # recompute anchor chars against the normalized text proportionally
             self.cur.text = norm
@@ -257,7 +261,12 @@ class _BlockParser(HTMLParser):
         self.cur.text += data
         self.cur.n_text_nodes += 1
         if self.anchor_depth:
-            self.cur.n_anchor_chars += len(_WS_RE.sub(" ", data).strip())
+            # len(" ".join(split())) == len(_WS_RE.sub(" ", ...).strip()):
+            # both collapse \s+ runs to one space and drop the ends
+            parts = data.split()
+            self.cur.n_anchor_chars += (
+                sum(map(len, parts)) + len(parts) - 1 if parts else 0
+            )
 
     def close(self):
         super().close()

@@ -149,9 +149,17 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         row["cleaning"] = assemble.cleaning_stats(raw_text, text)   # A9
         row["layout"] = assemble.layout_stats(decisions)            # A11
 
-        row["n_blocks"] = sum(1 for d in decisions if d.accept)
-        row["n_rejected"] = sum(1 for d in decisions if not d.accept)
-        row["n_review"] = sum(1 for d in decisions if d.review)
+        n_acc = n_rev = 0
+        conf_sum = 0.0
+        for d in decisions:
+            if d.accept:
+                n_acc += 1
+                conf_sum += d.confidence
+            if d.review:
+                n_rev += 1
+        row["n_blocks"] = n_acc
+        row["n_rejected"] = len(decisions) - n_acc
+        row["n_review"] = n_rev
         row["reading_order_uncertain"] = uncertain
         row["text"] = text
 
@@ -198,10 +206,7 @@ def extract_document(url: str, html: bytes | None, lang_hint: str = "") -> dict:
         # stats + confidences (A4/A5/A6)
         stats = assemble.text_statistics(text)
         row["stats"] = stats
-        mean_conf = (
-            sum(d.confidence for d in decisions if d.accept) / row["n_blocks"]
-            if row["n_blocks"] else 0.0
-        )
+        mean_conf = conf_sum / n_acc if n_acc else 0.0
         # A4: overall = 0.7·extraction + 0.3·japanese, capped 1.0
         # (processor.py:376-390)
         row["confidence"] = round(min(0.7 * mean_conf + 0.3 * ja_conf

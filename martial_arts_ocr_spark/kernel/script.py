@@ -32,6 +32,12 @@ _KANJI_RE = re.compile(f"[{KANJI}]")
 _JA_ANY_RE = re.compile(JA_CLASS)
 _EN_RE = re.compile(r"[A-Za-z]")
 
+# ASCII translate-delete table keeping only [A-Za-z]; len(translate(...))
+# equals len(_EN_RE.findall(...)) on ASCII text by construction
+_ASCII_NONLETTER_DEL = {
+    i: None for i in range(128) if not _EN_RE.match(chr(i))
+}
+
 
 @dataclass(frozen=True)
 class ScriptSegment:
@@ -105,8 +111,13 @@ def language_composition(text: str) -> dict:
     is_mixed uses the reference's open interval 0.1 < ja_ratio < 0.9.
     """
     n = len(text)
-    ja = 0 if text.isascii() else len(_JA_ANY_RE.findall(text))
-    en = len(_EN_RE.findall(text))
+    if text.isascii():
+        ja = 0            # ja classes are entirely non-ASCII
+        # C-level count of [A-Za-z]: delete every other ASCII ordinal
+        en = len(text.translate(_ASCII_NONLETTER_DEL))
+    else:
+        ja = len(_JA_ANY_RE.findall(text))
+        en = len(_EN_RE.findall(text))
     scriptful = ja + en
     ja_ratio = (ja / scriptful) if scriptful else 0.0
     dominant = "unknown"

@@ -190,6 +190,12 @@ _ALL_VARIANTS_RE = re.compile(
     + r")(?![A-Za-zÀ-ž])",
     re.IGNORECASE,
 )
+# case-sensitive twin, scanned over text.lower(): equivalent matches (the
+# variants are already lowercase) without the regex engine's per-char case
+# folding. Used only when len(lower) == len(text) — then every char lowers
+# 1:1 (each lowers to ≥1 chars, total equal ⇒ each exactly 1), so match
+# spans on the lowered string index the original string directly.
+_ALL_VARIANTS_CS_RE = re.compile(_ALL_VARIANTS_RE.pattern)
 
 _CONTEXT_CHARS = 32
 
@@ -205,8 +211,14 @@ def find_macron_candidates(text: str) -> list[MacronCandidate]:
     if not any(g in lowered for g in _VARIANT_GUARDS):
         return []
     raw: list[MacronCandidate] = []
-    for m in _ALL_VARIANTS_RE.finditer(text):
-        observed = m.group(0)
+    if len(lowered) == len(text):
+        # offsets align 1:1 (see _ALL_VARIANTS_CS_RE note) — scan the
+        # lowered text case-sensitively, slice spans from the original
+        matches = ((text[m.start():m.end()], m)
+                   for m in _ALL_VARIANTS_CS_RE.finditer(lowered))
+    else:
+        matches = ((m.group(0), m) for m in _ALL_VARIANTS_RE.finditer(text))
+    for observed, m in matches:
         for canonical in _VARIANT_TO_CANONICALS.get(observed.lower(), ()):
             if observed == canonical:
                 continue

@@ -43,7 +43,17 @@ _FRAGS = [
     "<weird-tag>w</weird-tag>", "&#9632;", "&unknown;", "<script>open",
     "<iframe/>", "<script/>", "<noscript/>", "<object/>", "<template/>",
     "<iframe>framed</iframe>", "<style/>",
+    # stdlib-tolerant junk constructs (html.parser *_tolerant regexes)
+    "<A,>", "<p =>", "<a b=c,>", "<div 'x'>", "</ p>", "</p x>", "</>",
+    "</3>", "<p/q>", "<p a='1'b=2>", "<x\x00y>", "</p attr='>'>",
 ]
+
+
+def test_tolerant_junk_tags_identical():
+    for s in ("<A,>x</A,>", "</ p>", "<p>a</p x><p>b</p>", "</>text",
+              "</3>tail", "<p =>y", "text<a b=c,>link</a>", "<p/q>z"):
+        a, b = _both(s)
+        assert a == b, repr(s)
 
 
 def test_seeded_soups_identical():
