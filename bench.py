@@ -141,11 +141,13 @@ def main() -> None:
         # last measured numbers (see BASELINE.md "Measured" for provenance);
         # re-measure live with SPARK_GRAFT_SCALING=1
         result["scaling_recorded"] = {
-            "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
-                      "uniform input files, best-of-3 (BASELINE.md round 2)",
-            "lo_docs_per_sec": 1006.3,
-            "hi_docs_per_sec": 3477.4,
-            "efficiency": 0.864,
+            "method": "local-cluster 1x2 vs 4x2 executor JVMs, 64k docs, "
+                      "uniform input files, best-of-3 per level, median of "
+                      "4 paired rounds (BASELINE.md round 2 refresh)",
+            "lo_docs_per_sec": 1425.7,
+            "hi_docs_per_sec": 4603.0,
+            "efficiency": 0.822,
+            "paired_rounds": [0.755, 0.774, 0.870, 0.886],
         }
 
     print(json.dumps(result))

@@ -51,9 +51,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.n_synthetic:
-        from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+        # synthesized on executors (pages_spark is byte-identical to the
+        # pandas generator — tests/test_fixtures_spark.py); never
+        # materialize fixture rows on the driver
+        from martial_arts_ocr_spark.fixtures.gen_pages import pages_spark
 
-        pages = spark.createDataFrame(pages_pandas(args.n_synthetic))
+        pages = pages_spark(spark, args.n_synthetic)
     elif args.pages:
         pages = spark.read.parquet(args.pages)
     else:
