@@ -13,11 +13,11 @@ Determinism rules applied everywhere:
 """
 
 from . import (extended, extraction, lineage, media, neardup, relational,
-               similarity, textops)
+               similarity, temporal, textops)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
 for mod in (relational, textops, similarity, neardup, extended, extraction,
-            lineage, media):
+            lineage, media, temporal):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))

@@ -68,3 +68,14 @@ def test_extraction_prunes_html_after_udf(spark):
     plan = _plan(spark, "extract_documents")
     seg = plan.split("MapInPandas")[0]      # operators ABOVE the UDF
     assert "html" not in seg, seg[:500]
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of join must compile to union-tag + ONE window over a single
+    user_id shuffle — a range/theta join here would be the 100 TB
+    scale-killer (O(clicks x purchases) intermediate)."""
+    plan = _plan(spark, "events_asof_purchase")
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Window") == 1, plan[:800]
+    # exactly one data shuffle (user_id hash) + one presentation range sort
+    assert plan.count("Exchange") <= 2, plan[:800]
