@@ -11,8 +11,10 @@ Each registered query performs (once per process per sf_dir) a real
 checkpointed extraction run over pages synthesized from ``documents`` into
 a temp warehouse, then reads the lineage tables back. ``run_metrics`` has
 an exact oracle: every count/byte/char total is template-predictable.
-``run_checkpoints`` is rows-only (bucket ids come from xxhash64, which
-DuckDB cannot reproduce).
+``run_checkpoints`` is ALSO oracle-exact: the probe corpus uses 7 known
+hosts, so their ``pmod(xxhash64(host), P)`` bucket ids are baked into the
+SQL as literals via the pure-Python XXH64 mirror (queries/xxh64.py) — the
+same baked-literal technique as the LSH hyperplane oracle.
 """
 
 from __future__ import annotations
@@ -84,8 +86,9 @@ FROM documents
 
 def q_run_checkpoints(spark, sf_dir):
     """Checkpoint rows of the same run: one completed row per processed
-    bucket, each carrying the snapshot id of its committing wave.
-    Rows-only: bucket assignment is pmod(xxhash64(salted host), P)."""
+    bucket, each carrying the snapshot id of its committing wave. Bucket
+    assignment is pmod(xxhash64(host), P) over 7 known hosts — baked into
+    the oracle as literals (see module docstring)."""
     root = _ensure_run(spark, sf_dir)
     c = catalog.read_table(spark, root, resume.CHECKPOINT_TABLE)
     return (
@@ -100,6 +103,34 @@ def q_run_checkpoints(spark, sf_dir):
     )
 
 
+def _checkpoints_oracle() -> str:
+    """Bucket ids of the 7 probe hosts baked as literals (xxh64 mirror is
+    Spark-verified in tests/test_xxh64.py); occupancy derived from the
+    documents table exactly like the Spark-side host synthesis."""
+    from .xxh64 import spark_pmod_bucket
+
+    rows = ", ".join(
+        f"('h{i}.example.com', "
+        f"{spark_pmod_bucket(f'h{i}.example.com', _N_BUCKETS)})"
+        for i in range(7)
+    )
+    return f"""
+WITH bucket_map(host, bucket) AS (VALUES {rows}),
+hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         AS host
+  FROM documents
+)
+SELECT '{_RUN_ID}' AS run_id,
+       CAST(bucket AS BIGINT) AS part_bucket,
+       'completed' AS status,
+       true AS snapshot_id_ok
+FROM (SELECT DISTINCT b.bucket
+      FROM hosts h JOIN bucket_map b ON b.host = h.host)
+ORDER BY part_bucket
+"""
+
+
 QUERIES = {
     "run_metrics": q_run_metrics,
     "run_checkpoints": q_run_checkpoints,
@@ -107,4 +138,5 @@ QUERIES = {
 
 ORACLES = {
     "run_metrics": ORACLE_RUN_METRICS,
+    "run_checkpoints": _checkpoints_oracle(),
 }
