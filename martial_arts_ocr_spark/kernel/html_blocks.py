@@ -55,6 +55,19 @@ _MULTI_WS_RE = re.compile(r"[\t\r\f\v]|  ")
 _FIGURE_TAGS = frozenset({"figure", "table", "svg"})
 _VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 
+# one dict lookup replacing the per-tag set-membership cascade in
+# handle_starttag (built FROM the sets above, so they stay the source of
+# truth); bit values are local to this table
+_F_CHROME, _F_FIGURE, _F_BLOCK, _F_VOID = 1, 2, 4, 8
+_TAG_FLAGS: dict[str, int] = {}
+for _t in (CHROME_TAGS | _FIGURE_TAGS | BLOCK_TAGS | _VOID_TAGS):
+    _TAG_FLAGS[_t] = (
+        (_F_CHROME if _t in CHROME_TAGS else 0)
+        | (_F_FIGURE if _t in _FIGURE_TAGS else 0)
+        | (_F_BLOCK if _t in BLOCK_TAGS else 0)
+        | (_F_VOID if _t in _VOID_TAGS else 0)
+    )
+
 
 @dataclass(slots=True)
 class Block:
@@ -188,11 +201,12 @@ class _BlockParser(HTMLParser):
             chrome_cls = bool(
                 CHROME_CLASS_RE.search(f"{cls or ''} {idv or ''}")
             )
-        chrome_tag = (parent.chrome_tag if parent else False) or (
-            tag in CHROME_TAGS
+        flags = _TAG_FLAGS.get(tag, 0)
+        chrome_tag = (parent.chrome_tag if parent else False) or bool(
+            flags & _F_CHROME
         )
-        figure = (parent.figure if parent else False) or (
-            tag in _FIGURE_TAGS
+        figure = (parent.figure if parent else False) or bool(
+            flags & _F_FIGURE
         )
         path = self._path(tag)
         frame = _Frame(tag, path, cls or "", chrome_tag, chrome_cls, figure)
@@ -200,20 +214,21 @@ class _BlockParser(HTMLParser):
 
         if tag == "a":
             self.anchor_depth += 1
-        if tag == "br" and self.cur is not None:
-            self.cur.text += "\n"
-        if tag == "img":
+        elif tag == "br":
+            if self.cur is not None:
+                self.cur.text += "\n"
+        elif tag == "img":
             alt = (alt or "").strip()
             if alt and self.figure_stack:
                 self.figure_stack[-1].caption = (
                     self.figure_stack[-1].caption or alt
                 )
-        if tag in BLOCK_TAGS:
+        if flags & _F_BLOCK:
             self._open_block(tag, frame)
             if tag == "figure":
                 self.figure_stack.append(self.cur)
         # void elements never get an endtag from some generators; pop now
-        if tag in _VOID_TAGS:
+        if flags & _F_VOID:
             self.stack.pop()
 
     def handle_startendtag(self, tag, attrs):
@@ -241,11 +256,17 @@ class _BlockParser(HTMLParser):
             self._flush()
             if tag == "figure" and self.figure_stack:
                 self.figure_stack.pop()
-        # pop matching frame (lenient to tag soup)
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                break
+        # pop matching frame (lenient to tag soup); well-formed HTML always
+        # hits the top-of-stack fast path
+        stack = self.stack
+        if stack:
+            if stack[-1].tag == tag:
+                stack.pop()
+            else:
+                for i in range(len(stack) - 2, -1, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
 
     def handle_data(self, data):
         if self.skip_depth or not data:
