@@ -41,6 +41,8 @@ HEADLINE = [
     "minhash_bands",
     "simhash",
     "cosine_neardup_pairs",
+    "events_asof_purchase",
+    "doc_length_percentiles",
     "extract_documents",
 ]
 
