@@ -79,10 +79,22 @@ _MS_MARKED_CLOSE = re.compile(r"]\s*>")
 _DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 
 
-def _incomplete_at_eof(handler, html_text: str, i: int) -> int:
+def _incomplete_at_eof(handler, html_text: str, i: int,
+                       memo: dict | None = None) -> int:
     """goahead()'s k<0-with-end branch (html/parser.py:183-196): the
-    construct can never complete — emit a data chunk and resume after it."""
-    k = html_text.find(">", i + 1)
+    construct can never complete — emit a data chunk and resume after it.
+
+    ``memo`` (shared per tokenize_into call) records that a forward scan
+    for '>' failed: the scan position only moves forward, so one failure
+    means every later scan fails too. Without this, a flood of unclosed
+    constructs ('<!--' * 500k) rescans the tail per occurrence — O(n²)
+    on attacker-controlled input (html.parser itself has this flaw)."""
+    if memo is not None and memo.get("no_gt"):
+        k = -1
+    else:
+        k = html_text.find(">", i + 1)
+        if k < 0 and memo is not None:
+            memo["no_gt"] = True
     if k < 0:
         k = html_text.find("<", i + 1)
         if k < 0:
@@ -94,7 +106,8 @@ def _incomplete_at_eof(handler, html_text: str, i: int) -> int:
     return k
 
 
-def _tolerant_starttag(handler, html_text: str, i: int) -> int:
+def _tolerant_starttag(handler, html_text: str, i: int,
+                       memo: dict | None = None) -> int:
     """parse_starttag + check_for_whole_start_tag mirror; returns new pos."""
     n = len(html_text)
     m = _LOCATE_START_TOL.match(html_text, i)
@@ -106,11 +119,11 @@ def _tolerant_starttag(handler, html_text: str, i: int) -> int:
         if html_text.startswith("/>", j):
             endpos = j + 2
         else:
-            return _incomplete_at_eof(handler, html_text, i)
+            return _incomplete_at_eof(handler, html_text, i, memo)
     elif nxt == "" or nxt in (
         "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     ):
-        return _incomplete_at_eof(handler, html_text, i)
+        return _incomplete_at_eof(handler, html_text, i, memo)
     else:
         endpos = j if j > i else i + 1
 
@@ -151,11 +164,17 @@ def _tolerant_starttag(handler, html_text: str, i: int) -> int:
     return endpos
 
 
-def _tolerant_endtag(handler, html_text: str, i: int) -> int:
+def _tolerant_endtag(handler, html_text: str, i: int,
+                     memo: dict | None = None) -> int:
     """parse_endtag mirror for inputs _CLOSE_RE rejects; returns new pos."""
-    gt = html_text.find(">", i + 1)
+    if memo is not None and memo.get("no_gt"):
+        gt = -1
+    else:
+        gt = html_text.find(">", i + 1)
+        if gt < 0 and memo is not None:
+            memo["no_gt"] = True
     if gt < 0:
-        return _incomplete_at_eof(handler, html_text, i)
+        return _incomplete_at_eof(handler, html_text, i, memo)
     gtpos = gt + 1
     m = _ENDTAGFIND_TOL.match(html_text, i)
     if m is not None:
@@ -168,7 +187,7 @@ def _tolerant_endtag(handler, html_text: str, i: int) -> int:
         # bogus comment: dropped, consumed through the next '>'
         pos = html_text.find(">", i + 2)
         if pos == -1:
-            return _incomplete_at_eof(handler, html_text, i)
+            return _incomplete_at_eof(handler, html_text, i, memo)
         return pos + 1
     handler.handle_endtag(nm.group(1).lower())
     # trailing junk between name and '>' is consumed and ignored
@@ -196,6 +215,10 @@ def tokenize_into(handler, html_text: str) -> None:
     handle_endtag = handler.handle_endtag
     open_match = _OPEN_RE.match
     close_match = _CLOSE_RE.match
+    # forward-scan failure memo (see _incomplete_at_eof): a failed
+    # tail-search can never succeed later, so each is recorded once —
+    # keeps flood inputs ('<!--' * 500k) linear instead of quadratic
+    memo: dict = {}
     while pos < n:
         lt = find("<", pos)
         if lt == -1:
@@ -216,7 +239,7 @@ def tokenize_into(handler, html_text: str) -> None:
             m = open_match(html_text, lt)
             if m is None:
                 # junk-tolerant tail (html.parser still sees a tag here)
-                pos = _tolerant_starttag(handler, html_text, lt)
+                pos = _tolerant_starttag(handler, html_text, lt, memo)
                 continue
             tag = m.group(1).lower()
             raw_attrs = m.group(2)
@@ -244,47 +267,59 @@ def tokenize_into(handler, html_text: str) -> None:
         elif c == "/":                        # end tag
             m = close_match(html_text, lt)
             if m is None:
-                pos = _tolerant_endtag(handler, html_text, lt)
+                pos = _tolerant_endtag(handler, html_text, lt, memo)
                 continue
             handle_endtag(m.group(1).lower())
             pos = m.end()
         elif c == "!":                        # comment / CDATA / decl
             if html_text.startswith("<!--", lt):
-                m = _COMMENT_CLOSE.search(html_text, lt + 4)
-                # unterminated comment: goahead's recovery branch
-                pos = (m.end() if m
-                       else _incomplete_at_eof(handler, html_text, lt))
+                m = (None if memo.get("no_comment_close")
+                     else _COMMENT_CLOSE.search(html_text, lt + 4))
+                if m is None:
+                    memo["no_comment_close"] = True
+                    # unterminated comment: goahead's recovery branch
+                    pos = _incomplete_at_eof(handler, html_text, lt, memo)
+                else:
+                    pos = m.end()
             elif html_text.startswith("<![", lt):
                 # _markupbase.parse_marked_section mirror (:141-162)
                 if lt + 3 >= n:                 # _scan_name i==n → incomplete
-                    pos = _incomplete_at_eof(handler, html_text, lt)
+                    pos = _incomplete_at_eof(handler, html_text, lt, memo)
                     continue
                 nm = _DECLNAME.match(html_text, lt + 3)
                 if nm is None:
                     # stdlib raises here; segment_blocks salvages the flush
                     raise AssertionError("unknown marked-section keyword")
                 if nm.end() == n:
-                    pos = _incomplete_at_eof(handler, html_text, lt)
+                    pos = _incomplete_at_eof(handler, html_text, lt, memo)
                     continue
                 name = nm.group().strip().lower()
                 if name in ("temp", "cdata", "ignore", "include", "rcdata"):
-                    m = _MARKED_CLOSE.search(html_text, lt + 3)
+                    m = (None if memo.get("no_marked_close")
+                         else _MARKED_CLOSE.search(html_text, lt + 3))
+                    if m is None:
+                        memo["no_marked_close"] = True
                 elif name in ("if", "else", "endif"):
-                    m = _MS_MARKED_CLOSE.search(html_text, lt + 3)
+                    m = (None if memo.get("no_ms_marked_close")
+                         else _MS_MARKED_CLOSE.search(html_text, lt + 3))
+                    if m is None:
+                        memo["no_ms_marked_close"] = True
                 else:
                     raise AssertionError("unknown marked-section keyword")
                 pos = (m.end() if m
-                       else _incomplete_at_eof(handler, html_text, lt))
+                       else _incomplete_at_eof(handler, html_text, lt, memo))
             else:
-                i = find(">", lt + 2)
+                i = -1 if memo.get("no_gt") else find(">", lt + 2)
                 if i == -1:                   # '<!' with no '>' → literal '<'
+                    memo["no_gt"] = True
                     handle_data("<")
                     pos = lt + 1
                 else:
                     pos = i + 1
         elif c == "?":                        # processing instruction
-            i = find(">", lt + 2)
+            i = -1 if memo.get("no_gt") else find(">", lt + 2)
             if i == -1:
+                memo["no_gt"] = True
                 handle_data("<")
                 pos = lt + 1
             else:

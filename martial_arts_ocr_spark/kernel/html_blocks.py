@@ -55,6 +55,10 @@ _MULTI_WS_RE = re.compile(r"[\t\r\f\v]|  ")
 _FIGURE_TAGS = frozenset({"figure", "table", "svg"})
 _VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 
+# node_path depth cap (browser DOM depth limits are ~512; real pages sit
+# well under 100) — see _path for the DoS rationale
+_MAX_PATH_DEPTH = 128
+
 # one dict lookup replacing the per-tag set-membership cascade in
 # handle_starttag (built FROM the sets above, so they stay the source of
 # truth); bit values are local to this table
@@ -131,8 +135,17 @@ class _BlockParser(HTMLParser):
     def _path(self, tag: str) -> str:
         n = self.tag_counts.get(tag, 0) + 1
         self.tag_counts[tag] = n
-        parent = self.stack[-1].path if self.stack else ""
-        return f"{parent}/{tag}[{n}]" if parent else f"{tag}[{n}]"
+        if not self.stack:
+            return f"{tag}[{n}]"
+        parent = self.stack[-1].path
+        if len(self.stack) >= _MAX_PATH_DEPTH:
+            # DoS bound: a 2 MiB page of nothing but '<div>' would otherwise
+            # build O(depth²) total path chars. Past real-DOM depth the path
+            # stops growing (frames beyond the cap share the capped
+            # ancestor's path string — O(1) by reference); segmentation
+            # itself is unaffected.
+            return parent
+        return f"{parent}/{tag}[{n}]"
 
     def _flush(self) -> None:
         """Close the current block if it holds any text.

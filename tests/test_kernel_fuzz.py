@@ -61,3 +61,25 @@ def test_deep_nesting_no_recursion_error():
     row = extract_document("https://fuzz.test/deep", html.encode())
     assert row["status"] == "completed"
     assert "deep text content here" in row["text"]
+
+
+def test_adversarial_floods_are_linear():
+    """Flood inputs that used to trigger O(n^2) rescans (unclosed-comment
+    floods: full tail re-search per occurrence; 50k-deep nesting: quadratic
+    node_path growth) must stay well under a second of work each — bound is
+    generous for host noise, the broken versions took 11-120 s."""
+    import time
+
+    from martial_arts_ocr_spark.kernel.html_blocks import segment_blocks
+
+    cases = [
+        "<!--" * 30000,
+        "<div>" * 50000 + "x",
+        "<![CDATA[" + "]" * 100000,
+        "<?x" * 50000,
+        "</a " * 50000,
+    ]
+    for s in cases:
+        t0 = time.perf_counter()
+        segment_blocks(s, engine="fast")
+        assert time.perf_counter() - t0 < 5.0, s[:30]
