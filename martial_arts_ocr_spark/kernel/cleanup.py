@@ -127,26 +127,51 @@ def process_lines(text: str) -> str:
     lacking a terminal; consecutive duplicates dropped last.
     """
     lines = text.split("\n")
-    merged: list[str] = []
+    n = len(lines)
+    # output lines kept as PART LISTS, joined once at the end: the naive
+    # `prev + " " + line` / `line[:-1] + nxt` concatenations are O(total²)
+    # when thousands of consecutive lines merge (a 100k-duplicate-line page
+    # took 277 s within the 2 MiB input cap)
+    merged: list[list[str]] = []
+    carry: list[str] | None = None    # hyphen-merge prefix, hyphen removed
     i = 0
-    while i < len(lines):
-        line = lines[i].rstrip()
-        if line.endswith("-") and i + 1 < len(lines):
+    while i < n:
+        if carry:                     # extend in place: a 50k-line hyphen
+            parts = carry             # chain must not copy the carry list
+            parts.append(lines[i])    # per line (that is O(n²) again)
+        else:
+            parts = [lines[i]]
+        carry = None
+        while parts:                  # rstrip across parts
+            s = parts[-1].rstrip()
+            if s:
+                parts[-1] = s
+                break
+            parts.pop()
+        last_ch = parts[-1][-1] if parts else ""
+        if last_ch == "-" and i + 1 < n:
             nxt = lines[i + 1].lstrip()
             if nxt and nxt[0].islower():
-                lines[i + 1] = line[:-1] + nxt
+                parts[-1] = parts[-1][:-1]
+                carry = parts
+                lines[i + 1] = nxt
                 i += 1
                 continue
-        if merged and line and line[0].islower():
+        # interior parts may be "" (a "-"-only line carries an empty prefix)
+        first_ch = next((p[0] for p in parts if p), "")
+        if merged and first_ch and first_ch.islower():
             prev = merged[-1]
-            if prev and not _TERMINAL_RE.search(prev):
-                merged[-1] = prev + " " + line
+            prev_last = next((p[-1] for p in reversed(prev) if p), "")
+            if prev_last and not _TERMINAL_RE.match(prev_last):
+                prev.append(" ")
+                prev.extend(parts)
                 i += 1
                 continue
-        merged.append(line)
+        merged.append(parts)
         i += 1
     deduped: list[str] = []
-    for line in merged:
+    for parts in merged:
+        line = "".join(parts)
         if not deduped or line != deduped[-1]:
             deduped.append(line)
     return "\n".join(deduped)

@@ -74,3 +74,84 @@ def test_pipeline_refines_and_flags():
     assert row["reading_order_uncertain"] is True
     assert "Share | Tweet" not in row["text"]
     assert row["text"].endswith("without question.")
+
+
+# --- differential fuzz: linear rewrites vs the original quadratic forms ------
+
+def _ref_process_lines(text):
+    """The original (quadratic-concat) process_lines, kept as the semantic
+    reference for the fuzz below."""
+    import re
+    _TERMINAL_RE = re.compile(r"[.!?:;。！？]$")
+    lines = text.split("\n")
+    merged = []
+    i = 0
+    while i < len(lines):
+        line = lines[i].rstrip()
+        if line.endswith("-") and i + 1 < len(lines):
+            nxt = lines[i + 1].lstrip()
+            if nxt and nxt[0].islower():
+                lines[i + 1] = line[:-1] + nxt
+                i += 1
+                continue
+        if merged and line and line[0].islower():
+            prev = merged[-1]
+            if prev and not _TERMINAL_RE.search(prev):
+                merged[-1] = prev + " " + line
+                i += 1
+                continue
+        merged.append(line)
+        i += 1
+    deduped = []
+    for line in merged:
+        if not deduped or line != deduped[-1]:
+            deduped.append(line)
+    return "\n".join(deduped)
+
+
+def test_process_lines_matches_reference_fuzz():
+    import random
+
+    from martial_arts_ocr_spark.kernel.cleanup import process_lines
+
+    rng = random.Random(17)
+    frags = ["word", "Word", "end.", "x-", "-", "", " ", "  lower",
+             "UPPER", "tail:", "same", "same", "a。", "ya?", "\tz",
+             "one two-", "p ", "é", "...", "it"]
+    for _ in range(4000):
+        text = "\n".join(rng.choice(frags)
+                         for _ in range(rng.randint(0, 14)))
+        assert process_lines(text) == _ref_process_lines(text), repr(text)
+
+
+def test_trailing_share_chain_matches_regex_fuzz():
+    import random
+
+    from martial_arts_ocr_spark.kernel.refine import (
+        TRAILING_SHARE_CHAIN_RE, _strip_trailing_share_chain)
+
+    rng = random.Random(23)
+    toks = ["Share", "Tweet", "Pin", "Pin it", "Email", "Print", "Save",
+            "Like", "Follow us", "|", "·", "/", " ", "  ", "\t", "x",
+            "word", ".", "!", "", "us", "it", "share"]
+    for _ in range(8000):
+        s = "".join(rng.choice(toks) for _ in range(rng.randint(0, 12)))
+        assert (_strip_trailing_share_chain(s)
+                == TRAILING_SHARE_CHAIN_RE.sub("", s)), repr(s)
+
+
+def test_refine_flood_is_fast():
+    import time
+
+    from martial_arts_ocr_spark.kernel.cleanup import process_lines
+    from martial_arts_ocr_spark.kernel.refine import refine_text
+
+    for s in (" Share |" * 20000 + " x",
+              "Share " * 30000 + "end."):
+        t0 = time.perf_counter()
+        refine_text(s)
+        assert time.perf_counter() - t0 < 3.0
+    for flood in ("same line\n" * 100000, "word-\n" * 100000):
+        t0 = time.perf_counter()
+        process_lines(flood)
+        assert time.perf_counter() - t0 < 3.0
