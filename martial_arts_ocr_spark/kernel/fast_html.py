@@ -34,7 +34,10 @@ _OPEN_RE = re.compile(
     # (stdlib's anchorless attrfind never backtracks there); narrowing the
     # strict regex is always safe — rejected inputs fall to the exact
     # stdlib-tolerant mirror below
-    r"((?:\s+[^<>\s\"'/][^<>\s=/]*"
+    # attr names may not start with '=' either: the required trailing '>'
+    # otherwise backtracks a skipped value into a '="'-named attr
+    # ('<g C =">"'), where stdlib's greedy anchorless parse goes incomplete
+    r"((?:\s+[^<>\s\"'/=][^<>\s=/]*"
     r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]*))?)*)"
     r"\s*(/)?>"
 )

@@ -46,6 +46,9 @@ _FRAGS = [
     # stdlib-tolerant junk constructs (html.parser *_tolerant regexes)
     "<A,>", "<p =>", "<a b=c,>", "<div 'x'>", "</ p>", "</p x>", "</>",
     "</3>", "<p/q>", "<p a='1'b=2>", "<x\x00y>", "</p attr='>'>",
+    # '>'-reaching backtracking decompositions stdlib's greedy parse
+    # never takes (soak-found): '=' -named attrs, quoted '>' at EOF
+    '<g\tC =">"', "<D\tx=='>'", '<g a=">\' >', "<p == \">\"",
 ]
 
 
