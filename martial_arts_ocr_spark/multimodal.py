@@ -2,8 +2,10 @@
 
 Images/audio/video are opaque ``binary`` columns + a typed metadata struct;
 decode/feature-extraction run as Arrow-batched ``mapInPandas`` stages with
-real schemas, partitioning, and batch shapes. The actual codec step is
-STUBBED (no image/audio libraries in this container — clearly marked
+real schemas, partitioning, and batch shapes. TWO codecs decode for real
+with pure stdlib + numpy — binary PPM images (incl. concatenated-frame
+"video") and RIFF/WAVE PCM-16 audio; compressed formats (JPEG/PNG/MP3/
+MP4) are STUBBED (no PIL/cv2/ffmpeg in this container — clearly marked
 below); everything Spark-side is real and tested.
 
 The reference analogue is the image-region crop/extract path
@@ -89,6 +91,63 @@ def decode_ppm(content: bytes):
     return w, h, arr, pos + n
 
 
+# --- real codec: WAV (RIFF/PCM-16) — pure stdlib + numpy --------------------------
+#
+# One genuinely decodable AUDIO format (RIFF header is a fixed struct
+# layout; no codec library needed), so the audio modality also runs real
+# sample math end-to-end. Compressed audio stays behind the labeled stub.
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def encode_wav_pcm16(sample_rate: int, channels: int,
+                     samples: bytes) -> bytes:
+    """Minimal RIFF/WAVE container around raw little-endian int16 PCM
+    (``samples`` = interleaved frames as bytes)."""
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels,
+                      sample_rate, byte_rate, channels * 2, 16)
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    body = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(content: bytes):
+    """Parse RIFF/WAVE PCM-16 → (sample_rate, n_channels, int16 array of
+    interleaved samples). Raises ValueError on malformed/non-PCM input."""
+    import struct
+
+    import numpy as np
+
+    if not content.startswith(_RIFF_MAGIC) or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(content)
+    sample_rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        pos += 8
+        chunk = content[pos:pos + size]
+        if cid == b"fmt ":
+            if size < 16 or len(chunk) < 16:
+                raise ValueError("short fmt chunk")
+            fmt_tag, channels, sample_rate, _br, _ba, bits = (
+                struct.unpack_from("<HHIIHH", chunk)
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM-16 supported")
+        elif cid == b"data":
+            data = chunk
+        pos += size + (size & 1)                      # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    usable = len(data) - (len(data) % 2)
+    arr = np.frombuffer(data[:usable], dtype="<i2")
+    return sample_rate, channels, arr
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Nearest-neighbor resize via index maps (real pixel op, no PIL)."""
     import numpy as np
@@ -118,7 +177,9 @@ def decode_media(content: bytes, media_type: str) -> dict:
 
     PPM images (and PPM-frame 'videos') decode for REAL: features are
     [width, height, mean_r, mean_g, mean_b, grayscale std, aspect,
-    n_frames] from actual pixels. Every other format is a STUB — real
+    n_frames] from actual pixels. RIFF/WAVE PCM-16 audio also decodes for
+    REAL: [sample_rate, channels, n_samples, duration_s, rms, peak, zero
+    crossings, 0] from actual samples. Every other format is a STUB — real
     decode requires PIL/cv2/ffmpeg, absent in this container — yielding
     deterministic hash-derived features so downstream plumbing (schema,
     batching, joins, ANN over features) still runs with stable values.
@@ -128,6 +189,17 @@ def decode_media(content: bytes, media_type: str) -> dict:
 
     if not content:
         raise NotImplementedError("empty media content")
+    if content.startswith(_RIFF_MAGIC):
+        sr, ch, arr = decode_wav(content)
+        x = arr.astype(np.float64) / 32768.0
+        n = len(arr)
+        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        feats = [float(sr), float(ch), float(n),
+                 (n / ch) / sr if sr else 0.0,
+                 float(np.sqrt((x * x).mean())) if n else 0.0,
+                 float(np.abs(x).max()) if n else 0.0,
+                 float(zc), 0.0]
+        return {"decode_ok": True, "features": feats}
     if content.startswith(_PPM_MAGIC):
         if media_type == "video":
             frames = sample_frames(content, every_k=1)

@@ -74,10 +74,82 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- real WAV/PCM audio path --------------------------------------------------
+
+def _wav_from_documents(spark, sf_dir: str):
+    """Square-wave PCM-16 WAVs synthesized on executors from doc_ids: a
+    full-scale alternating ±a waveform makes rms == peak == a and every
+    adjacent sample a zero crossing — all integer-exact in SQL."""
+    import numpy as np
+
+    from ..multimodal import encode_wav_pcm16
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr = 8000 * (1 + did % 3)
+                n = 64 + did % 64
+                a = 500 + (did * 37) % 30000
+                wave = np.empty(n, dtype="<i2")
+                wave[0::2] = a
+                wave[1::2] = -a
+                rows.append((did, encode_wav_pcm16(sr, 1, wave.tobytes())))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.repartition(8, "doc_id").mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """WAV decode → per-clip features via the real RIFF/PCM parser
+    (multimodal.decode_wav); binary pruned after the UDF. All outputs are
+    integers (amplitude recovered un-divided) so no float-rounding-tie
+    hazards exist between Python and DuckDB."""
+    media = _wav_from_documents(spark, sf_dir)
+
+    def feats(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_media(bytes(content), "audio")
+                f = dec["features"]
+                rows.append((int(mid), int(f[0]), int(f[2]),
+                             int(round(f[4] * 32768)),
+                             int(round(f[5] * 32768)), int(f[6])))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "rms_amp",
+                "peak_amp", "zero_crossings",
+            ])
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, sample_rate long, n_samples long, rms_amp long, "
+        "peak_amp long, zero_crossings long",
+    ).orderBy("media_id")
+
+
+ORACLE_AUDIO_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+       CAST(500 + (doc_id * 37) % 30000 AS BIGINT) AS rms_amp,
+       CAST(500 + (doc_id * 37) % 30000 AS BIGINT) AS peak_amp,
+       CAST(63 + doc_id % 64 AS BIGINT) AS zero_crossings
+FROM documents ORDER BY media_id
+"""
+
+
 QUERIES = {
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
 }
 
 ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
+    "audio_features": ORACLE_AUDIO_FEATURES,
 }

@@ -75,3 +75,25 @@ def test_ppm_comment_header_and_truncation():
     assert (w, h) == (3, 2) and arr[1, 2, 0] == 9
     with pytest.raises(ValueError):
         decode_ppm(encode_ppm(4, 4, (1, 1, 1))[:-5])
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+    import pytest
+
+    from martial_arts_ocr_spark.multimodal import (decode_media, decode_wav,
+                                                   encode_wav_pcm16)
+
+    wave = np.array([1000, -1000, 1000, -1000, 500], dtype="<i2")
+    blob = encode_wav_pcm16(16000, 1, wave.tobytes())
+    sr, ch, arr = decode_wav(blob)
+    assert (sr, ch) == (16000, 1)
+    assert np.array_equal(arr, wave)
+    f = decode_media(blob, "audio")["features"]
+    assert f[0] == 16000.0 and f[1] == 1.0 and f[2] == 5.0
+    assert f[6] == 4.0                       # four sign changes
+    assert round(f[5] * 32768) == 1000       # peak amplitude recovered
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")          # missing fmt/data
+    with pytest.raises(ValueError):
+        decode_wav(blob[:20])                # truncated
