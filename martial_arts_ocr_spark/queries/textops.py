@@ -232,7 +232,91 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# --- PII detection + redaction -------------------------------------------------
+#
+# Training-data scrubbing operator: detect and redact contact strings. The
+# corpus is synthetic word-salad (no real PII), so deterministic synthetic
+# contacts are injected doc_id-arithmetically first (the extract_* probe
+# precedent), then detected/redacted with JVM-side regexp_count /
+# regexp_replace — pure Column algebra, no Python in the loop, identical
+# RE semantics in DuckDB (simple character-class patterns only; DuckDB
+# regexp_replace needs the 'g' flag).
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def q_pii_redact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    injected = F.col("text")
+    for j in (1, 2):          # doc_id % 3 ∈ {0,1,2} → 0-2 injected emails
+        injected = F.concat(
+            injected,
+            F.when(
+                F.col("doc_id") % 3 >= j,
+                F.concat(F.lit(f" u{j}."), F.col("doc_id").cast("string"),
+                         F.lit(f"@mail{j}.example.org")),
+            ).otherwise(F.lit("")),
+        )
+    injected = F.concat(
+        injected,
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE, "[PHONE]",
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("bigint")
+            .alias("n_emails"),
+            F.regexp_count(injected, F.lit(_PHONE_RE)).cast("bigint")
+            .alias("n_phones"),
+            F.length(redacted).cast("bigint").alias("redacted_len"),
+            F.length(injected).cast("bigint").alias("raw_len"),
+        )
+        .where(F.col("doc_id") < 400)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PII = f"""
+WITH probe AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 >= 1
+            THEN ' u1.' || CAST(doc_id AS VARCHAR) || '@mail1.example.org'
+            ELSE '' END
+         || CASE WHEN doc_id % 3 >= 2
+            THEN ' u2.' || CAST(doc_id AS VARCHAR) || '@mail2.example.org'
+            ELSE '' END
+         || CASE WHEN doc_id % 2 = 1
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                         4, '0')
+            ELSE '' END AS injected
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(injected, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(injected, '{_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(injected, '{_EMAIL_RE}',
+            '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT)
+         AS redacted_len,
+       CAST(length(injected) AS BIGINT) AS raw_len
+FROM probe ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "pii_redact": q_pii_redact,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "exact_dup_groups": q_exact_dup_groups,
     "dedup_survivors": q_dedup_survivors,
@@ -244,6 +328,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_redact": ORACLE_PII,
     "doc_stats_by_lang": ORACLE_DOC_STATS,
     "exact_dup_groups": ORACLE_DUP_GROUPS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
