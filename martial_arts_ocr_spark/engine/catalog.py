@@ -67,3 +67,66 @@ def table_exists(root: str, table: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def _bucket_dirs(root: str, table: str) -> list[str]:
+    p = table_path(root, table)
+    if not os.path.isdir(p):
+        return []
+    return sorted(
+        os.path.join(p, d) for d in os.listdir(p)
+        if d.startswith("part_bucket=") and os.path.isdir(os.path.join(p, d))
+    )
+
+
+def compact_table(spark: SparkSession, root: str, table: str,
+                  target_files_per_bucket: int = 1) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analogue.
+
+    Wave-committed runs write one file batch per wave per bucket; a long
+    crawl leaves hundreds of small files per partition, and at 100 TB
+    small files dominate scan cost (driver-side listing + per-file reader
+    setup). Each over-target bucket directory is rewritten to
+    ``target_files_per_bucket`` files via coalesce (no shuffle — file
+    merge only), preserving rows exactly; a ``compact`` snapshot entry is
+    appended.
+
+    Maintenance op, single writer. NOTE: the plain-parquet emulation swaps
+    files in place (write-new-then-delete-old), so a concurrent reader or
+    a crash mid-swap can transiently see duplicates — real Iceberg makes
+    this atomic with a metadata snapshot swap; this module is the labeled
+    thin stand-in (see module docstring).
+    """
+    files_before = files_after = 0
+    buckets_rewritten = 0
+    for bdir in _bucket_dirs(root, table):
+        old = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        files_before += len(old)
+        if len(old) <= target_files_per_bucket:
+            files_after += len(old)
+            continue
+        tmp = bdir + ".compact_tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(bdir)
+         .coalesce(target_files_per_bucket)
+         .write.mode("overwrite").parquet(tmp))
+        new = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        # move new files in (unique names), then drop the old ones
+        for i, f in enumerate(new):
+            os.replace(os.path.join(tmp, f),
+                       os.path.join(bdir, f"compacted-{i:05d}-{f}"))
+        for f in old:
+            os.remove(os.path.join(bdir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        files_after += len(new)
+        buckets_rewritten += 1
+    meta = {
+        "op": "compact",
+        "files_before": files_before,
+        "files_after": files_after,
+        "buckets_rewritten": buckets_rewritten,
+    }
+    append_snapshot(root, table, meta)
+    return meta
