@@ -135,9 +135,18 @@ def run_checkpointed(
             .cast("int"),
         ).persist()
 
-        # 1. write wave data to a temp dir, then rename per bucket (atomic)
+        # 1. write wave data to a temp dir, then rename per bucket (atomic).
+        #    sortWithinPartitions clusters rows by (host, url) inside each
+        #    file so parquet row-group min/max stats prune host-/url-
+        #    filtered scans downstream (a bucket holds many hosts at scale;
+        #    without clustering every row group spans all of them) —
+        #    partition-local sort, no extra shuffle.
         tmp_dir = os.path.join(root, f"_tmp_wave_{run_id}_{wave_no}")
-        (extracted.write.mode("overwrite")
+        #    part_bucket leads the sort so the partitioned writer's own
+        #    required partition-column ordering is already satisfied and
+        #    does not re-sort away the (host, url) clustering.
+        (extracted.sortWithinPartitions("part_bucket", "host", "url")
+         .write.mode("overwrite")
          .partitionBy("part_bucket").parquet(tmp_dir))
         os.makedirs(ext_path, exist_ok=True)
         for b in wave:
