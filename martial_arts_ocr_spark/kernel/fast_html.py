@@ -26,17 +26,14 @@ from html import unescape
 # stdlib html.parser stays pinned by tests/test_fast_html_equivalence.py.
 _OPEN_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
-    # attr name may not start with "/" and an unquoted value may not start
-    # with a quote — html.parser's attrfind_tolerant refuses both, falling
-    # into junk-tag handling instead (mirrored by _tolerant_starttag)
-    # bare values may not start with a quote OR '=' — the '=' exclusion stops
-    # the required trailing '>' from backtracking '=+' into the bare value
-    # (stdlib's anchorless attrfind never backtracks there); narrowing the
-    # strict regex is always safe — rejected inputs fall to the exact
-    # stdlib-tolerant mirror below
-    # attr names may not start with '=' either: the required trailing '>'
-    # otherwise backtracks a skipped value into a '="'-named attr
-    # ('<g C =">"'), where stdlib's greedy anchorless parse goes incomplete
+    # Narrower than html.parser on purpose — any reject falls to the exact
+    # stdlib-tolerant mirror below, so narrowing is always equivalence-safe.
+    # Exclusions beyond the stdlib classes, each closing a case where this
+    # regex's REQUIRED trailing '>' backtracks into a decomposition the
+    # stdlib's greedy anchorless parse never takes:
+    #   * attr names must not start with '/' or '=' ('<p />', '<g C =">"');
+    #   * bare values must not start with a quote or '=' (unterminated
+    #     quotes, '<D x==\'>\'').
     r"((?:\s+[^<>\s\"'/=][^<>\s=/]*"
     r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]*))?)*)"
     r"\s*(/)?>"
