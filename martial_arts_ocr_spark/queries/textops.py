@@ -211,6 +211,41 @@ ORDER BY total_tokens DESC, source ASC LIMIT 10
 """
 
 
+# BPE-ish pre-tokenizer classes (the GPT-2 pre-tokenizer's shape: letter
+# runs / digit runs / single punctuation — without the \\p{L} unicode
+# properties so Java-regex and RE2 semantics are identical)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Token counting with a BPE-ish regex (vs whitespace counting in
+    tokens_by_source): letter runs, digit runs, and single punctuation
+    marks each count as one token — the pre-tokenization a BPE trainer
+    sees. Pure Column algebra (regexp_count is JVM-side)."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(toks).alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(toks).alias("max_doc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BPE_TOKENS = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+         AS max_doc_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --- punctuation-ratio text confidence (T17 analogue) -----------------------------
 
 def q_punct_ratio(spark, sf_dir):
@@ -324,6 +359,7 @@ QUERIES = {
     "quality_buckets": q_quality_buckets,
     "langid_heuristic": q_langid_heuristic,
     "tokens_by_source": q_tokens_by_source,
+    "bpe_token_counts": q_bpe_token_counts,
     "punct_ratio": q_punct_ratio,
 }
 
@@ -336,5 +372,6 @@ ORACLES = {
     "quality_buckets": ORACLE_QUALITY,
     "langid_heuristic": ORACLE_LANGID,
     "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
+    "bpe_token_counts": ORACLE_BPE_TOKENS,
     "punct_ratio": ORACLE_PUNCT,
 }
