@@ -12,12 +12,12 @@ Determinism rules applied everywhere:
   would otherwise hash differently from Spark's bigint).
 """
 
-from . import (extended, extraction, lineage, media, neardup, relational,
-               similarity, temporal, textops)
+from . import (extended, extraction, graph, lineage, media, neardup,
+               relational, similarity, temporal, textops)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
 for mod in (relational, textops, similarity, neardup, extended, extraction,
-            lineage, media, temporal):
+            lineage, media, temporal, graph):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))
