@@ -58,7 +58,9 @@ def q_cosine_neardup_pairs(spark, sf_dir):
         "vec_id", "embedding",
         sig(F.col("embedding")).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
-    )
+    ).persist()          # signatures computed ONCE and reused by both join
+    # sides (at warehouse scale this is a materialized signature table;
+    # without it the self-join evaluates the signature UDF twice per row)
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
