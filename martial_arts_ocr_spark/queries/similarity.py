@@ -147,7 +147,9 @@ def q_lsh_bucket_candidates(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     sig = _lsh_signature_udf()
     with_sig = emb.select("vec_id", "label",
-                          sig(F.col("embedding")).alias("bucket"))
+                          sig(F.col("embedding")).alias("bucket")).persist()
+    # signatures computed once, reused by both join sides (materialized
+    # signature table at warehouse scale)
     a = with_sig.alias("a")
     b = with_sig.alias("b")
     pairs = (
@@ -425,7 +427,7 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     )
     sigs = d.unionByName(pert).select(
         "doc_id", sh(F.col("text")).alias("simhash")
-    )
+    ).persist()          # sketch once; both join sides reuse it
     bands = sigs.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
