@@ -2,8 +2,11 @@
 
 Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
 and ``ORACLES: dict[name, str]`` (DuckDB ANSI SQL over the pre-registered
-views). Names without an oracle get the driver's weaker rows-only check
-(non-SQL-expressible ops: the extraction pipeline itself, MinHash/SimHash).
+views). Every query is oracle-checked except ``extract_documents`` (the
+full kernel's free-text output; ``extract_roundtrip`` oracles the same
+kernel over template pages). Even the md5 sketches are exact
+(``md5_number_upper`` + HUGEINT wrapping arithmetic, similarity.py) and
+the xxhash64 checkpoint buckets are baked literals (xxh64.py mirror).
 
 Determinism rules applied everywhere:
 * every float aggregate is ``round(x, 2..6)`` on BOTH sides;

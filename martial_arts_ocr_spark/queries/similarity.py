@@ -5,10 +5,13 @@ The large-scale training-pipeline additions:
 * brute-force cosine top-k (oracle: DuckDB ``list_cosine_similarity``) —
   the correctness baseline for ANN;
 * LSH-bucketed cosine (scale path: random-hyperplane signatures → bucket
-  equi-join; avoids the O(N²) cross join at corpus scale) — rows-only;
+  equi-join; avoids the O(N²) cross join at corpus scale);
 * MinHash near-dup candidates over word shingles (banding → bucket join) —
-  rows-only;
-* SimHash fingerprints — rows-only.
+* SimHash fingerprints.
+
+All of these are ORACLE-EXACT: DuckDB's ``md5_number_upper`` equals the
+UDFs' md5-based ``_stable_hash64``, so the sketches are reproduced in SQL
+with HUGEINT wrapping-arithmetic emulation (see the ORACLES section).
 
 All Python math runs in Arrow-batched pandas UDFs over numpy (no per-row
 Python); bucket joins are ordinary Spark shuffles.
@@ -199,7 +202,7 @@ ORDER BY vec_a, vec_b
 """
 
 
-# --- MinHash near-dup candidates over documents (rows-only) ----------------------
+# --- MinHash near-dup candidates over documents -----------------------------------
 
 _MINHASH_PERMS = 32
 _MINHASH_BANDS = 8          # 8 bands × 4 rows
@@ -347,7 +350,7 @@ def q_minhash_bands(spark, sf_dir):
     )
 
 
-# --- SimHash fingerprints (rows-only) --------------------------------------------
+# --- SimHash fingerprints ---------------------------------------------------------
 
 def simhash_batch(text: pd.Series) -> pd.Series:
     """Vectorized SimHash: per-doc unique tokens → batch-level vocab md5
@@ -417,7 +420,7 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     recall trade); exact verification runs only inside buckets. The demo
     corpus is `documents` unioned with a one-suffix perturbation of itself
     (doc_id + 100000) so deterministic true near-dups exist; at scale the
-    input is the corpus itself. Rows-only (simhash not SQL-expressible).
+    input is the corpus itself. Oracle-exact (md5_number_upper emulation).
     """
     sh = _simhash_udf()
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -460,7 +463,7 @@ def q_minhash_verified_pairs(spark, sf_dir):
     """Full near-dup pipeline: MinHash bands → candidate pairs → exact
     token-Jaccard verification ≥ 0.5. The 100 TB shape: the expensive
     exact check runs ONLY on sketch candidates, never all-pairs.
-    Rows-only (MinHash not SQL-expressible)."""
+    Oracle-exact (md5_number_upper emulation)."""
     cands = _minhash_band_groups(spark, sf_dir)
     pairs = (
         cands.select(F.explode(F.col("docs")).alias("doc_a"), "docs")
