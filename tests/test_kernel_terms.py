@@ -51,3 +51,18 @@ def test_dedup_and_sorted_by_span():
 
 def test_canonical_form_not_flagged():
     assert find_macron_candidates("Daitō-ryū is canonical") == []
+
+
+def test_macron_fallback_on_length_changing_lowercase():
+    """'İ'.lower() is two chars, so the case-sensitive fast scan's 1:1
+    offset proof does not hold — the IGNORECASE fallback path must produce
+    correctly-anchored spans."""
+    from martial_arts_ocr_spark.kernel.terms import find_macron_candidates
+
+    s = "İ Daito-ryu practice"
+    assert len(s.lower()) != len(s)           # the fallback trigger
+    cands = find_macron_candidates(s)
+    assert [(c.observed, c.candidate, c.start, c.end) for c in cands] == [
+        ("Daito-ryu", "Daitō-ryū", 2, 11)
+    ]
+    assert s[2:11] == "Daito-ryu"
