@@ -125,6 +125,11 @@ class _BlockParser(HTMLParser):
         self.skip_depth = 0
         self.cursor = 0                 # char position in the page text stream
         self.cur: Block | None = None
+        # raw text of the OPEN block accumulates here and is joined once at
+        # _flush: `cur.text += data` on an attribute is O(len(block)²) in
+        # CPython (the in-place concat fast path covers locals only) — a
+        # 2 MiB single-block flood took 60 s through that path
+        self.cur_parts: list[str] = []
         self.anchor_depth = 0
         self.tag_counts: dict[str, int] = {}
         self.pending_caption: list[str] = []
@@ -156,7 +161,8 @@ class _BlockParser(HTMLParser):
         """
         if self.cur is None:
             return
-        raw = self.cur.text
+        raw = "".join(self.cur_parts)
+        self.cur_parts.clear()
         if "\n" not in raw:                 # fast path: single-line block
             norm = (_SPACE_RE.sub(" ", raw) if _MULTI_WS_RE.search(raw)
                     else raw).strip()
@@ -229,7 +235,7 @@ class _BlockParser(HTMLParser):
             self.anchor_depth += 1
         elif tag == "br":
             if self.cur is not None:
-                self.cur.text += "\n"
+                self.cur_parts.append("\n")
         elif tag == "img":
             alt = (alt or "").strip()
             if alt and self.figure_stack:
@@ -262,7 +268,7 @@ class _BlockParser(HTMLParser):
         if tag == "a" and self.anchor_depth:
             self.anchor_depth -= 1
         if tag == "figcaption" and self.cur is not None and self.figure_stack:
-            cap = _WS_RE.sub(" ", self.cur.text).strip()
+            cap = _WS_RE.sub(" ", "".join(self.cur_parts)).strip()
             if cap:
                 self.figure_stack[-1].caption = cap
         if tag in BLOCK_TAGS:
@@ -292,7 +298,7 @@ class _BlockParser(HTMLParser):
                 "body", "body[1]", "", False, False, False
             )
             self._open_block(frame.tag if frame.tag in BLOCK_TAGS else "div", frame)
-        self.cur.text += data
+        self.cur_parts.append(data)
         self.cur.n_text_nodes += 1
         if self.anchor_depth:
             # len(" ".join(split())) == len(_WS_RE.sub(" ", ...).strip()):

@@ -83,3 +83,20 @@ def test_adversarial_floods_are_linear():
         t0 = time.perf_counter()
         segment_blocks(s, engine="fast")
         assert time.perf_counter() - t0 < 5.0, s[:30]
+
+
+def test_pipeline_2mb_floods_bounded():
+    """Full extract_document on 2 MiB (= MAX_HTML_BYTES) adversarial pages
+    must stay bounded — the `cur.text +=` attribute-concat path was
+    O(n²) (60 s on a comment flood) before parts-list accumulation."""
+    import time
+
+    from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+    for blob in (b"<!--" * 524288,
+                 b"<div>" + b"<b>x</b>" * 262144 + b"</div>",
+                 b"<div>" + b" Share |" * 262100 + b" x</div>"):
+        t0 = time.perf_counter()
+        r = extract_document("https://x.test/flood", blob)
+        assert r["status"] in ("completed", "failed")
+        assert time.perf_counter() - t0 < 15.0
