@@ -231,13 +231,72 @@ LIMIT 5
 """
 
 
+# --- repeated n-gram spans across documents ------------------------------------
+
+_SPAN_K = 8      # words per span (the dedup-literature "repeated substring"
+                 # op uses fixed-k shingle counting at scale, not suffix
+                 # arrays: one explode + one groupBy, both linear)
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 8-word spans: any k-gram occurring in more
+    than one document (substring-level duplication, the span-dedup
+    operator from the training-data dedup literature). JVM-side sliding
+    windows (sequence/transform/slice over the token array), md5 span
+    keys, one shuffle on the span hash."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).where(F.size("toks") >= _SPAN_K)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - _SPAN_K + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _SPAN_K)),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.select("doc_id", F.md5("gram").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("gram_hash")
+    )
+
+
+ORACLE_REPEATED_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(ts) - {_SPAN_K - 1}),
+             i -> array_to_string(ts[i:i+{_SPAN_K - 1}], ' '))) AS gram
+  FROM toks WHERE len(ts) >= {_SPAN_K}
+)
+SELECT md5(gram) AS gram_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+ORDER BY gram_hash
+"""
+
+
 QUERIES = {
+    "repeated_spans": q_repeated_spans,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
     "jaccard_neardup_pairs": q_jaccard_neardup_pairs,
     "ivf_ann_top5": q_ivf_ann_top5,
 }
 
 ORACLES = {
+    "repeated_spans": ORACLE_REPEATED_SPANS,
     "cosine_neardup_pairs": ORACLE_COSINE_PAIRS,
     "jaccard_neardup_pairs": ORACLE_JACCARD_PAIRS,
     "ivf_ann_top5": ORACLE_IVF,
