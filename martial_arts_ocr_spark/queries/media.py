@@ -144,12 +144,81 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- real video path (concatenated PPM frames) ---------------------------------
+
+def _video_from_documents(spark, sf_dir: str):
+    """Per doc_id: (1 + doc_id % 4) solid-color PPM frames concatenated —
+    frame k's red channel is (doc_id * 11 + k) % 256, so frame count and
+    first-frame means are doc_id arithmetic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = b"".join(
+                    encode_ppm(8, 4, ((did * 11 + k) % 256, 10, 20))
+                    for k in range(1 + did % 4)
+                )
+                rows.append((did, frames))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.repartition(8, "doc_id").mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def q_video_features(spark, sf_dir):
+    """Frame-sampled video decode via the real PPM frame parser
+    (multimodal.sample_frames): frame count + first/last sampled frame red
+    means, all doc_id-exact in SQL."""
+    from ..multimodal import sample_frames
+
+    media = _video_from_documents(spark, sf_dir)
+
+    def feats(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = sample_frames(bytes(content), every_k=2)
+                rows.append((
+                    int(mid), len(frames),
+                    int(frames[0][0, 0, 0]), int(frames[-1][0, 0, 0]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_sampled", "first_red", "last_red",
+            ])
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, n_sampled long, first_red long, last_red long",
+    ).orderBy("media_id")
+
+
+# frames k = 0..doc_id%4; sampled = even k; n_sampled = floor(n/2)+n%2 with
+# n = 1 + doc_id%4; last sampled index = 2*(n_sampled-1)
+ORACLE_VIDEO_FEATURES = """
+WITH v AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n_frames FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST((doc_id * 11) % 256 AS BIGINT) AS first_red,
+       CAST((doc_id * 11 + 2 * ((n_frames + 1) // 2 - 1)) % 256 AS BIGINT)
+         AS last_red
+FROM v ORDER BY media_id
+"""
+
+
 QUERIES = {
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "video_features": q_video_features,
 }
 
 ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "audio_features": ORACLE_AUDIO_FEATURES,
+    "video_features": ORACLE_VIDEO_FEATURES,
 }
