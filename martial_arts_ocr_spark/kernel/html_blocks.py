@@ -19,7 +19,7 @@ a char-span into the emitted text stream — the web analogue of a pixel bbox
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 
 # Tags whose subtree is never content (reference nontext mask analogue).
@@ -132,7 +132,6 @@ class _BlockParser(HTMLParser):
         self.cur_parts: list[str] = []
         self.anchor_depth = 0
         self.tag_counts: dict[str, int] = {}
-        self.pending_caption: list[str] = []
         self.figure_stack: list[Block] = []
         self._id = 0
 
