@@ -145,11 +145,12 @@ def main() -> None:
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 64k docs, "
                       "uniform input files, best-of-3 per level, median of "
-                      "6 paired rounds (BASELINE.md round 2 refresh)",
-            "lo_docs_per_sec": 1355.1,
-            "hi_docs_per_sec": 4587.0,
-            "efficiency": 0.830,
-            "paired_rounds": [0.755, 0.774, 0.870, 0.886, 0.846, 0.814],
+                      "7 paired rounds (BASELINE.md round 2 refresh)",
+            "lo_docs_per_sec": 1432.4,
+            "hi_docs_per_sec": 5428.9,
+            "efficiency": 0.846,
+            "paired_rounds": [0.755, 0.774, 0.870, 0.886, 0.846, 0.814,
+                              0.948],
         }
 
     print(json.dumps(result))
