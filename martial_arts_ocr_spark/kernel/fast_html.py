@@ -28,14 +28,16 @@ _OPEN_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
     # Narrower than html.parser on purpose — any reject falls to the exact
     # stdlib-tolerant mirror below, so narrowing is always equivalence-safe.
-    # Exclusions beyond the stdlib classes, each closing a case where this
-    # regex's REQUIRED trailing '>' backtracks into a decomposition the
-    # stdlib's greedy anchorless parse never takes:
+    # The attrs group is ATOMIC ((?>...)): stdlib's anchorless parse is
+    # greedy with no give-back, while this regex's REQUIRED trailing '>'
+    # would otherwise backtrack into attr decompositions stdlib never makes
+    # (empty bare values, re-split attr boundaries — soak-found). Exclusions
+    # beyond the stdlib classes close greedy-path mismatches:
     #   * attr names must not start with '/' or '=' ('<p />', '<g C =">"');
     #   * bare values must not start with a quote or '=' (unterminated
     #     quotes, '<D x==\'>\'').
-    r"((?:\s+[^<>\s\"'/=][^<>\s=/]*"
-    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]*))?)*)"
+    r"((?>(?:\s+[^<>\s\"'/=][^<>\s=/]*"
+    r"(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^\s>]*))?)*))"
     r"\s*(/)?>"
 )
 _CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")

@@ -47,8 +47,11 @@ _FRAGS = [
     "<A,>", "<p =>", "<a b=c,>", "<div 'x'>", "</ p>", "</p x>", "</>",
     "</3>", "<p/q>", "<p a='1'b=2>", "<x\x00y>", "</p attr='>'>",
     # '>'-reaching backtracking decompositions stdlib's greedy parse
-    # never takes (soak-found): '=' -named attrs, quoted '>' at EOF
+    # never takes (soak-found): '=' -named attrs, quoted '>' at EOF,
+    # attr-boundary re-splits before '/>' (fixed by the atomic attrs group)
     '<g\tC =">"', "<D\tx=='>'", '<g a=">\' >', "<p == \">\"",
+    "<d- b= 1 =./>_B'B>Aax", '<A. b = 0-: =a/>x',
+    '<D\taA".==\t01=\ta/\'//> ="01.1></a>',
 ]
 
 
