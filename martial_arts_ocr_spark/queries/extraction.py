@@ -129,13 +129,61 @@ def _pages_from_documents(
 
 
 def q_extract_documents(spark, sf_dir):
-    """Full extraction over synthesized pages; rows-only driver check."""
+    """Full extraction over synthesized pages — the flagship, oracle-exact.
+
+    Every output column is template-predictable on the synthesized corpus
+    (same argument as ``extract_roundtrip``/``host_profiles``): block and
+    rejection counts follow the page skeleton, extracted length follows the
+    chunking formula, and quality reduces to the A5 staircase's word-count
+    arm because consensus confidence is ≥0.9 on clean template pages (>0.8
+    with wide margin — pinned by test_flagship_quality_margin)."""
     pages = _pages_from_documents(spark, sf_dir)
     out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
     return out.select(
-        "url", "status", "n_blocks", "n_rejected", "lang_detected",
-        "quality", F.length("text").alias("text_len"),
+        "url", "status",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("n_rejected").cast("bigint").alias("n_rejected"),
+        "lang_detected", "quality",
+        F.length("text").cast("bigint").alias("text_len"),
     ).orderBy("url")
+
+
+# Quality staircase (kernel/pipeline.py:215-220): 'high' needs confidence
+# ≥0.8 AND n_words ≥50. On template pages consensus confidence is 0.90-0.93
+# (both extractors agree on every block; test_flagship_quality_margin pins
+# the ≥0.8 margin), so quality is exactly the word-count test. n_words of
+# the extracted text = words(title) + words(h1) + words(text), plus one
+# extra word per 600-char chunk boundary that lands strictly inside a word
+# (the '</p><p>' insert splits it) — validated char-exact vs the kernel.
+ORACLE_EXTRACT_DOCUMENTS = """
+WITH d AS (
+  SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         source, text,
+         CAST(ceil(length(text) / 600.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+w AS (
+  SELECT url, source, text, n_chunks,
+         2 * len(regexp_split_to_array(trim(source), '\\s+'))
+         + len(regexp_split_to_array(trim(text), '\\s+'))
+         + len(list_filter(
+               CASE WHEN n_chunks >= 2
+                    THEN generate_series(1, n_chunks - 1) ELSE [] END,
+               i -> NOT regexp_matches(substr(text, 600*i, 1), '\\s')
+                AND NOT regexp_matches(substr(text, 600*i + 1, 1), '\\s')))
+           AS n_words
+  FROM d
+)
+SELECT url,
+       'completed' AS status,
+       CAST(2 + n_chunks AS BIGINT) AS n_blocks,
+       CAST(2 AS BIGINT) AS n_rejected,
+       'en' AS lang_detected,
+       CASE WHEN n_words >= 50 THEN 'high' ELSE 'medium' END AS quality,
+       CAST(2 * length(source) + 4 + length(text) + 2 * (n_chunks - 1)
+            AS BIGINT) AS text_len
+FROM w ORDER BY url
+"""
 
 
 def q_extract_roundtrip(spark, sf_dir):
@@ -332,6 +380,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "extract_documents": ORACLE_EXTRACT_DOCUMENTS,
     "extract_roundtrip": ORACLE_ROUNDTRIP,
     "extract_ja_segments": ORACLE_JA,
     "extract_figures": ORACLE_FIGURES,

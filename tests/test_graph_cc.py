@@ -1,0 +1,53 @@
+"""Connected components: convergence past any fixed round count.
+
+Round-2 verdict marked the fixed-6-round propagation as the one weak
+component — chain-shaped dup families (diameter > 6) would be silently
+mislabeled at scale. These fixtures are exactly those shapes.
+"""
+
+from pyspark.sql import functions as F
+
+from martial_arts_ocr_spark.queries.graph import connected_components
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return (
+        df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            df.select(F.col("doc_b").alias("src"),
+                      F.col("doc_a").alias("dst"))
+        )
+    )
+
+
+def test_chain_deeper_than_six_rounds(spark):
+    """A 21-node path (diameter 20) — the fixed-6-round version mislabels
+    every node more than 6 hops from the minimum; pointer jumping must
+    collapse the whole chain to label 0."""
+    pairs = [(i, i + 1) for i in range(20)]
+    out = connected_components(_edges(spark, pairs)).collect()
+    assert len(out) == 21
+    assert all(r["lbl"] == 0 for r in out), sorted(
+        (r["doc"], r["lbl"]) for r in out
+    )
+
+
+def test_two_components_and_determinism(spark):
+    """Separate components keep separate min labels; a second run returns
+    identical labels (determinism invariant)."""
+    pairs = [(3, 7), (7, 9), (20, 21), (21, 22), (22, 23)]
+    a = sorted((r["doc"], r["lbl"])
+               for r in connected_components(_edges(spark, pairs)).collect())
+    b = sorted((r["doc"], r["lbl"])
+               for r in connected_components(_edges(spark, pairs)).collect())
+    assert a == b
+    assert a == [(3, 3), (7, 3), (9, 3), (20, 20), (21, 20), (22, 20),
+                 (23, 20)]
+
+
+def test_empty_edges(spark):
+    out = connected_components(
+        _edges(spark, []).where(F.lit(False))
+    ).collect()
+    assert out == []

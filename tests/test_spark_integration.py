@@ -97,3 +97,25 @@ def test_parquet_scan_prunes_html_for_metadata_query(spark, tmp_path):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "lang_detected" in m.group(1)
     assert "text" not in m.group(1)
+
+
+def test_flagship_quality_margin(spark):
+    """The flagship oracle's quality arm assumes consensus confidence ≥0.8
+    on template pages (kernel/pipeline.py A5 staircase) so quality reduces
+    to the n_words≥50 test. Pin the margin: min confidence ≥0.85 and
+    lang_detected constant 'en' over the sf0.001 corpus."""
+    from martial_arts_ocr_spark.queries.extraction import (
+        _pages_from_documents,
+    )
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = run_extract(pages.select("url", "html", "lang"), num_partitions=4)
+    agg = out.agg(
+        F.min("confidence").alias("min_conf"),
+        F.count_distinct("lang_detected").alias("n_langs"),
+        F.min("lang_detected").alias("lang"),
+        F.count_distinct("status").alias("n_status"),
+    ).collect()[0]
+    assert agg["min_conf"] >= 0.85, agg
+    assert agg["n_langs"] == 1 and agg["lang"] == "en"
+    assert agg["n_status"] == 1
