@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from martial_arts_ocr_spark.queries import ALL_ORACLES, ALL_QUERIES
+from martial_arts_ocr_spark.queries import (ALL_QUERIES,
+                                            materialized_oracles)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,4 +33,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names/aliases)."""
-    return dict(ALL_ORACLES)
+    return materialized_oracles()

@@ -24,3 +24,11 @@ for mod in (relational, textops, similarity, neardup, extended, extraction,
             lineage, media, temporal, graph):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))
+
+
+def materialized_oracles() -> dict[str, str]:
+    """ORACLES values may be callables returning SQL (used where the SQL
+    bakes data-derived literals, e.g. the k-means IVF centroids) — resolve
+    them on the driver at oracle_sql() time, never at module import
+    (executors import this package for the pandas UDFs)."""
+    return {k: (v() if callable(v) else v) for k, v in ALL_ORACLES.items()}

@@ -29,6 +29,8 @@ _CHUNK = 600
 # _JA_SENT contributes exactly 13 ja chars / 1 contiguous segment /
 # 3 term hits (武道, 稽古, 道場); _MACRON_SENT yields candidates at fixed
 # offsets 4 (Daito-ryu) and 37 (dojo).
+HOT_PROBE_HOST = "hot.example.com"     # skew probe: 30% of rows (§7.4)
+
 _JA_SENT = "武道の稽古は道場で行われる。"
 _JA_CHARS = 13
 _JA_ROMAJI = "budōno稽kohadōbade行wareru"
@@ -55,7 +57,9 @@ _TPL_TAIL = (
     '<a href="/p">Privacy Policy</a></footer></body></html>'
 )
 # utf-8 bytes of the constant page skeleton (© is 2 bytes); per-page html
-# bytes = this + 2·len(source) + len(text) + 7·(n_chunks − 1)
+# bytes = this + 2·len(source) + len(text) + 7·floor(len(text)/600)
+# (the '</p><p>' insert fires after every FULL 600-char group, including a
+# trailing one that yields no block)
 TEMPLATE_CONST_BYTES = len(
     (_TPL_HEAD1 + _TPL_HEAD2 + _TPL_MID + _TPL_P_OPEN + _TPL_P_CLOSE
      + _TPL_TAIL).encode("utf-8")
@@ -69,6 +73,7 @@ def _pages_from_documents(
     inject_figs: bool = False,
     inject_macrons: bool = False,
     host_from_doc: bool = False,
+    hot_host: bool = False,
 ) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # JVM-side HTML synthesis: concat of literals — no Python
@@ -100,12 +105,20 @@ def _pages_from_documents(
             for k in (1, 2, 3)
         ]
         figs = F.concat(*one)
-    host = (
-        F.concat(F.lit("https://h"), F.col("doc_id") % 7,
-                 F.lit(".example.com/"), F.col("doc_id"))
-        if host_from_doc
-        else F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"))
-    )
+    if hot_host:
+        # SURVEY §7.4 skew scenario: one host carries 30% of the corpus
+        host = F.when(
+            (F.col("doc_id") % 10) < 3,
+            F.concat(F.lit(f"https://{HOT_PROBE_HOST}/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://h"), F.col("doc_id") % 7,
+                     F.lit(".example.com/"), F.col("doc_id"))
+        )
+    elif host_from_doc:
+        host = F.concat(F.lit("https://h"), F.col("doc_id") % 7,
+                        F.lit(".example.com/"), F.col("doc_id"))
+    else:
+        host = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id"))
     html_str = F.concat(
         F.lit(_TPL_HEAD1),
         F.col("source"),
@@ -183,6 +196,47 @@ SELECT url,
        CAST(2 * length(source) + 4 + length(text) + 2 * (n_chunks - 1)
             AS BIGINT) AS text_len
 FROM w ORDER BY url
+"""
+
+
+def q_extract_hot_host(spark, sf_dir):
+    """Skew-stress extraction (SURVEY §7.4): one host carries 30% of the
+    corpus and is salted into 8 sub-keys (`hot_hosts` path of run_extract),
+    so no partition is pinned by the hot host. Oracle-exact per-host
+    aggregates prove the salted run still produces exactly the right rows;
+    the partition-balance invariant itself is machine-checked in
+    tests/test_skew_salting.py::test_hot_host_metrics_balance (via the
+    checkpointed metrics table) and the salt key's presence in the
+    Exchange is plan-locked in tests/test_plan_properties.py."""
+    pages = _pages_from_documents(spark, sf_dir, hot_host=True)
+    out = run_extract(
+        pages.select("url", "html", "lang"),
+        num_partitions=8,
+        hot_hosts=[HOT_PROBE_HOST],
+        salt_buckets=8,
+    )
+    return (
+        out.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_HOT_HOST = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+              ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         END AS host,
+         2 * length(source) + 4 + length(text)
+         + 2 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1) AS len
+  FROM documents
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS sum_text_len
+FROM d GROUP BY host ORDER BY host
 """
 
 
@@ -372,6 +426,7 @@ FROM d GROUP BY host ORDER BY host
 
 QUERIES = {
     "extract_documents": q_extract_documents,
+    "extract_hot_host": q_extract_hot_host,
     "host_profiles": q_host_profiles,
     "extract_roundtrip": q_extract_roundtrip,
     "extract_ja_segments": q_extract_ja_segments,
@@ -381,6 +436,7 @@ QUERIES = {
 
 ORACLES = {
     "extract_documents": ORACLE_EXTRACT_DOCUMENTS,
+    "extract_hot_host": ORACLE_HOT_HOST,
     "extract_roundtrip": ORACLE_ROUNDTRIP,
     "extract_ja_segments": ORACLE_JA,
     "extract_figures": ORACLE_FIGURES,

@@ -74,8 +74,12 @@ ORACLE_RUN_METRICS = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_completed,
        CAST(0 AS BIGINT) AS n_failed,
+       -- '</p><p>' (7 bytes) is inserted after every FULL 600-char group:
+       -- floor(len/600), NOT ceil-1 (they differ when len is an exact
+       -- multiple of 600 — the trailing empty <p></p> still costs bytes
+       -- even though it yields no block; round-2 ADVICE item)
        CAST(sum({TEMPLATE_CONST_BYTES} + 2 * length(source) + length(text)
-            + 7 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1))
+            + 7 * (length(text) // 600))
             AS BIGINT) AS n_bytes_in,
        CAST(sum(2 * length(source) + 4 + length(text)
             + 2 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1))

@@ -637,10 +637,16 @@ stoks AS (
          sum(CASE WHEN acc > 0 THEN CAST(power(2, bit) AS HUGEINT)
                   ELSE CAST(0 AS HUGEINT) END) AS u
   FROM sbits GROUP BY doc_id
-), simhashed AS (
+), sraw AS (
   SELECT doc_id, CAST(CASE WHEN u >= {_TWO63} THEN u - {_TWO64}
          ELSE u END AS BIGINT) AS simhash
   FROM spacked
+), simhashed AS (
+  -- left-join back to the corpus: an empty/whitespace-only doc has no
+  -- tokens (the tok <> '' filter drops it from sraw) but simhash_batch
+  -- still emits 0 for it — mirror that with coalesce (round-2 ADVICE)
+  SELECT c.doc_id, coalesce(r.simhash, CAST(0 AS BIGINT)) AS simhash
+  FROM corpus c LEFT JOIN sraw r USING (doc_id)
 )"""
 
 

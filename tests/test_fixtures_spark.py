@@ -21,3 +21,24 @@ def test_pages_spark_partition_invariant(spark):
     b = {r.url: bytes(r.html)
          for r in pages_spark(spark, 30, partitions=13).collect()}
     assert a == b
+
+
+def test_driver_corpus_oracle_preconditions():
+    """The template-page oracles (extract_*/run_metrics/host_profiles)
+    model the 600-char chunk split with pure length arithmetic, which is
+    only exact when the text has no newlines ('.{600}' doesn't cross \\n)
+    — pin that corpus property at every SF (round-2 ADVICE item)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_bad, n_empty = con.execute(
+            f"""SELECT sum(CASE WHEN regexp_matches(text, '[\\n\\r]')
+                              THEN 1 ELSE 0 END),
+                       sum(CASE WHEN length(trim(text)) = 0
+                              THEN 1 ELSE 0 END)
+               FROM read_parquet('/root/testdata/{sf}/documents.parquet')"""
+        ).fetchone()
+        assert n_bad == 0, (sf, n_bad)
+        assert n_empty == 0, (sf, n_empty)
+    con.close()

@@ -79,3 +79,17 @@ def test_asof_join_is_single_window_no_join(spark):
     assert plan.count("Window") == 1, plan[:800]
     # exactly one data shuffle (user_id hash) + one presentation range sort
     assert plan.count("Exchange") <= 2, plan[:800]
+
+
+def test_hot_host_salt_key_in_exchange(spark):
+    """Skew-stress query (SURVEY §7.4): the repartition Exchange must hash
+    on part_key — the SALTED key — not on raw host, so the hot host's rows
+    spread across partitions (round-2 verdict item 5)."""
+    plan = _plan(spark, "extract_hot_host")
+    # the explicit pre-UDF repartition (REPARTITION_BY_NUM) must key on the
+    # salted part_key; the post-UDF groupBy('host') aggregation exchange is
+    # a different, legitimate shuffle
+    m = re.search(r"Exchange hashpartitioning\((\w+)#\d+, \d+\), "
+                  r"REPARTITION_BY_NUM", plan)
+    assert m, plan[:1200]
+    assert m.group(1) == "part_key", m.group(0)

@@ -87,3 +87,29 @@ def test_minhash_batch_order_invariance():
     assert list(rev.iloc[-1]) == _GOLDEN_MH0
     solo = minhash_signatures_batch(pd.Series([_TEXTS[0]]))
     assert list(solo.iloc[0]) == _GOLDEN_MH0
+
+
+def test_simhash_oracle_empty_doc_row():
+    """Empty/whitespace-only docs: simhash_batch emits 0; the SQL oracle
+    must produce the same row instead of dropping the doc (round-2 ADVICE
+    item — latent row-count mismatch)."""
+    import duckdb
+    import pandas as pd
+
+    from martial_arts_ocr_spark.queries.similarity import (
+        _simhash_sql_ctes,
+        simhash_batch,
+    )
+
+    texts = ["", "   ", "alpha beta", "\t"]
+    py = list(simhash_batch(pd.Series(texts)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE probe(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO probe VALUES (?, ?)",
+                    list(enumerate(texts)))
+    sql = (f"WITH {_simhash_sql_ctes('SELECT doc_id, text FROM probe')} "
+           "SELECT doc_id, simhash FROM simhashed ORDER BY doc_id")
+    rows = con.execute(sql).fetchall()
+    con.close()
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert [r[1] for r in rows] == [int(v) for v in py]

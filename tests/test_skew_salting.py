@@ -53,3 +53,36 @@ def test_proportional_salting_reduces_straggler(spark):
     ]
     assert HOT_HOST not in keys
     pages.unpersist()
+
+
+def test_hot_host_metrics_balance(spark, tmp_path):
+    """Machine-checked §7.4 invariant via the lineage metrics table: a
+    checkpointed run over the 30%-hot corpus with PROPORTIONAL salting
+    (target share 1/(16·buckets) → many keys per bucket, so balls-into-
+    bins variance stays low) must keep max bucket docs / mean ≤ 2, and
+    must beat the unsalted run's straggler."""
+    from martial_arts_ocr_spark.engine import catalog, resume
+    from martial_arts_ocr_spark.queries.extraction import (
+        _pages_from_documents,
+    )
+
+    nb = 8
+    pages = _pages_from_documents(
+        spark, "/root/testdata/sf0.001", hot_host=True
+    ).select("url", "html", "lang")
+    df = with_host(pages).persist()
+    shares = detect_hot_host_shares(df, threshold=0.05, sample_fraction=1.0)
+    buckets = proportional_salt_buckets(shares, target_share=1.0 / (16 * nb))
+
+    def imbalance(root, hot):
+        resume.run_checkpointed(spark, df, str(root), run_id="skew",
+                                n_buckets=nb, batch_size=nb, hot_hosts=hot)
+        m = catalog.read_table(spark, str(root), resume.METRICS_TABLE)
+        sizes = [r["n_docs"] for r in m.collect()]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    salted = imbalance(tmp_path / "salted", buckets)
+    unsalted = imbalance(tmp_path / "raw", None)
+    df.unpersist()
+    assert salted <= 2.0, salted
+    assert salted < unsalted, (salted, unsalted)

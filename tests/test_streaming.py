@@ -79,3 +79,48 @@ def test_windowed_quality_metrics(spark, pages_dir):
     for r in rows:
         assert r.window_start.minute % 10 == 0
         assert (r.window_end - r.window_start).total_seconds() == 600
+
+
+def test_streaming_crash_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across an interrupted run (round-2 verdict item 8, the
+    streaming analogue of test_resume): kill the query mid-run after ≥1
+    committed micro-batch, restart from the same checkpoint + file sink,
+    and assert the final output has every url exactly once (the sink's
+    _spark_metadata manifest must fence uncommitted files)."""
+    pdf = pages_pandas(N)
+    src = str(tmp_path / "src")
+    per = N // 8
+    for i in range(8):
+        spark.createDataFrame(pdf.iloc[i * per:(i + 1) * per]).coalesce(1) \
+            .write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        stream = extract_stream(
+            read_pages_stream(spark, src, max_files_per_trigger=1)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:           # wait for ≥1 committed batch
+        p = q.lastProgress
+        if p and p.get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.05)
+    try:
+        q.stop()                            # crash: later batches never ran
+    except Exception:
+        pass
+    q2 = start()
+    q2.awaitTermination(180)
+
+    urls = [r.url for r in spark.read.parquet(out).select("url").collect()]
+    assert len(urls) == N, len(urls)        # nothing missing
+    assert len(set(urls)) == N              # nothing duplicated
+    assert set(urls) == set(pdf["url"])
