@@ -100,12 +100,29 @@ def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
             "all_runs_sec": [round(t, 3) for t in times]}
 
 
+def _scan_split_bytes(sf_dir: str, cpus: int) -> int:
+    """Size spark.sql.files.maxPartitionBytes so the LARGEST table splits
+    into ≈2·cpus scan partitions at this SF (the 'size partitions for the
+    target scale' rule): the default 128 MB is right for warehouse-scale
+    files but leaves a 10 MB bench table on 1-3 of 32 cores. Clamped to
+    [1 MB, 128 MB]; parquet row-group boundaries bound the real split."""
+    biggest = max(
+        (os.path.getsize(os.path.join(sf_dir, f))
+         for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+        default=0,
+    )
+    return min(max(biggest // (2 * cpus), 2 << 20), 128 << 20)
+
+
 def main() -> None:
     from martial_arts_ocr_spark.engine.session import build_session
     from martial_arts_ocr_spark.queries import ALL_QUERIES
 
     spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS,
-                          app_name="bench")
+                          app_name="bench", extra_conf={
+                              "spark.sql.files.maxPartitionBytes":
+                                  str(_scan_split_bytes(SF_DIR, CPUS)),
+                          })
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM/codegen/parquet-footer costs land here, not in query 1
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

@@ -141,6 +141,21 @@ def _pages_from_documents(
     )
 
 
+def _run_extract_salted(spark, pages):
+    """The docs.example.com corpus has ONE host — exactly the hot-key skew
+    the engine's salting exists for (an unsalted run pins ALL pages to one
+    partition: host-hash partitioning with a single key). Salt into
+    4·parallelism sub-keys so the kernel runs on every core; byte-identity
+    across partitionings is the pinned invariant, so outputs are unchanged.
+    """
+    sb = 4 * spark.sparkContext.defaultParallelism
+    return run_extract(
+        pages.select("url", "html", "lang"),
+        hot_hosts=["docs.example.com"],
+        salt_buckets=sb,
+    )
+
+
 def q_extract_documents(spark, sf_dir):
     """Full extraction over synthesized pages — the flagship, oracle-exact.
 
@@ -151,7 +166,7 @@ def q_extract_documents(spark, sf_dir):
     arm because consensus confidence is ≥0.9 on clean template pages (>0.8
     with wide margin — pinned by test_flagship_quality_margin)."""
     pages = _pages_from_documents(spark, sf_dir)
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
     return out.select(
         "url", "status",
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
@@ -211,7 +226,6 @@ def q_extract_hot_host(spark, sf_dir):
     pages = _pages_from_documents(spark, sf_dir, hot_host=True)
     out = run_extract(
         pages.select("url", "html", "lang"),
-        num_partitions=8,
         hot_hosts=[HOT_PROBE_HOST],
         salt_buckets=8,
     )
@@ -245,7 +259,7 @@ def q_extract_roundtrip(spark, sf_dir):
     extract back to (title + text), chrome stripped, block count = 1 (h1)
     + 1 (title) + ceil(len/600) paragraphs."""
     pages = _pages_from_documents(spark, sf_dir)
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
     return out.select(
         "url", "status",
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
@@ -269,7 +283,7 @@ def q_extract_ja_segments(spark, sf_dir):
     translation, and ja_ratio (= 13 / (13 + latin chars)) are then exact
     SQL. Exercises L1/L2/L7/L8/J4 end-to-end through the real kernel."""
     pages = _pages_from_documents(spark, sf_dir, inject_ja=True)
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
     # ja_ratio itself is banker's-rounded to 6 decimals in the kernel, which
     # ties against DuckDB's half-up round for power-of-two denominators
     # (13/128 = 0.1015625); invert it instead — round(13/ratio) recovers the
@@ -310,7 +324,7 @@ def q_extract_figures(spark, sf_dir):
     injected per page with known captions → region_id/reading_order/caption
     are exact SQL (S5/D1 + W5 reading order)."""
     pages = _pages_from_documents(spark, sf_dir, inject_figs=True)
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
     figs = out.select("url", F.explode("figures").alias("f"))
     return figs.select(
         "url",
@@ -339,7 +353,7 @@ def q_extract_macron_candidates(spark, sf_dir):
     body paragraph, so candidate char offsets depend only on len(source)
     (J5: span-anchored, ambiguity-marked, text never mutated)."""
     pages = _pages_from_documents(spark, sf_dir, inject_macrons=True)
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
     mc = out.select("url", F.explode("macron_candidates").alias("m"))
     return mc.select(
         "url",
@@ -380,7 +394,7 @@ def q_host_profiles(spark, sf_dir):
     pages = _pages_from_documents(
         spark, sf_dir, inject_ja=True, host_from_doc=True
     )
-    out = run_extract(pages.select("url", "html", "lang"), num_partitions=8)
+    out = _run_extract_salted(spark, pages)
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         lens = pdf["text"].str.len()
