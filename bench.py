@@ -162,12 +162,14 @@ def main() -> None:
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 64k docs, "
                       "uniform input files, best-of-3 per level, median of "
-                      "7 paired rounds (BASELINE.md round 2 refresh)",
-            "lo_docs_per_sec": 1432.4,
-            "hi_docs_per_sec": 5428.9,
-            "efficiency": 0.846,
-            "paired_rounds": [0.755, 0.774, 0.870, 0.886, 0.846, 0.814,
-                              0.948],
+                      "6 quiet paired rounds (BASELINE.md round 3 refresh; "
+                      "a 7th round that overlapped a concurrent oracle-gate "
+                      "job measured 0.69 and is excluded as host-load "
+                      "contamination, documented in BASELINE.md)",
+            "lo_docs_per_sec": 1423.2,
+            "hi_docs_per_sec": 5066.8,
+            "efficiency": 0.885,
+            "paired_rounds": [0.759, 0.953, 1.133, 0.817, 0.740, 0.979],
         }
 
     print(json.dumps(result))
