@@ -56,11 +56,18 @@ FROM (
 # --- W4 lag-gap flag: users with any >6h silence then activity ----------------
 
 def q_events_gap_flags(spark, sf_dir):
+    # gap compared at MICROSECOND precision on both engines: Spark's
+    # unix_timestamp truncates to whole seconds while DuckDB's epoch()
+    # keeps the fraction, so a gap inside (21600, 21601) s diverged —
+    # latent at sf0.01, red at sf0.1 (user 805 has a 21600.714 s gap).
+    # TIMESTAMP_NTZ subtraction yields an exact day-time interval
+    # (timezone-free); DuckDB mirrors with integer epoch_us.
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gap = F.col("ts") - F.lag("ts").over(w)
+    big = gap > F.expr("INTERVAL 21600 SECOND")
     return (
-        ev.withColumn("big_gap", (gap > 21600).cast("int"))
+        ev.withColumn("big_gap", big.cast("int"))
         .groupBy("user_id")
         .agg(F.sum(F.coalesce(F.col("big_gap"), F.lit(0)))
              .cast("bigint").alias("n_big_gaps"))
@@ -73,8 +80,9 @@ ORACLE_GAP_FLAGS = """
 SELECT user_id, CAST(sum(big_gap) AS BIGINT) AS n_big_gaps
 FROM (
   SELECT user_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id)) > 21600
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id))
+              > 21600000000::BIGINT
               THEN 1 ELSE 0 END AS big_gap
   FROM events
 ) GROUP BY user_id HAVING sum(big_gap) > 0 ORDER BY user_id

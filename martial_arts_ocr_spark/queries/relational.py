@@ -277,12 +277,15 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 # --- events: sessionization via lag (W4 gap-rule analogue) ---------------------
 
 def q_events_sessions(spark, sf_dir):
+    # microsecond-exact gap via NTZ interval subtraction (same hazard as
+    # events_gap_flags: unix_timestamp truncates to seconds, epoch() keeps
+    # the fraction — a gap in (1800, 1801) s would diverge)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    prev = F.lag("ts").over(w)
+    big = (F.col("ts") - prev) > F.expr("INTERVAL 1800 SECOND")
     marked = ev.withColumn(
-        "new_session",
-        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+        "new_session", F.when(prev.isNull() | big, 1).otherwise(0),
     )
     return (
         marked.groupBy("user_id")
@@ -302,8 +305,8 @@ FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id)) > 1800
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) > 1800000000::BIGINT
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ) GROUP BY user_id ORDER BY user_id
