@@ -15,13 +15,13 @@ Determinism rules applied everywhere:
   would otherwise hash differently from Spark's bigint).
 """
 
-from . import (extended, extraction, graph, lineage, media, neardup,
+from . import (corpus, extended, extraction, graph, lineage, media, neardup,
                relational, similarity, temporal, textops)
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
 for mod in (relational, textops, similarity, neardup, extended, extraction,
-            lineage, media, temporal, graph):
+            lineage, media, temporal, graph, corpus):
     ALL_QUERIES.update(mod.QUERIES)
     ALL_ORACLES.update(getattr(mod, "ORACLES", {}))
 
