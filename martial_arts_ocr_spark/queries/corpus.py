@@ -178,14 +178,134 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def q_repetition_flags(spark, sf_dir):
+    """Gopher repetition rules (the other half of §A1.1): fraction of
+    n-grams taken by the single most frequent 2-/3-gram. Thresholds are
+    checked by INTEGER cross-multiplication (max·5 ≤ total for 0.20,
+    max·50 ≤ total·9 for 0.18) so no float ever crosses the engine
+    boundary. One explode + two aggregations per n; map-side combine
+    makes it scan-shaped at scale."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+    def gram_stats(n, max_col, total_col):
+        grams = d.where(F.size("toks") >= n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("gram"),
+        )
+        return (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").cast("bigint").alias(max_col),
+                 F.sum("c").cast("bigint").alias(total_col))
+        )
+
+    g2 = gram_stats(2, "max_2gram_n", "n_2grams")
+    g3 = gram_stats(3, "max_3gram_n", "n_3grams")
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id", "n_2grams", "max_2gram_n", "n_3grams", "max_3gram_n",
+            (F.col("max_2gram_n") * 5 <= F.col("n_2grams")).alias("top2_ok"),
+            (F.col("max_3gram_n") * 50
+             <= F.col("n_3grams") * 9).alias("top3_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_2gram_n,
+         CAST(sum(c) AS BIGINT) AS n_2grams
+  FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS gram
+      FROM toks WHERE len(ts) >= 2)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_3gram_n,
+         CAST(sum(c) AS BIGINT) AS n_3grams
+  FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(ts) - 2),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+      FROM toks WHERE len(ts) >= 3)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT g2.doc_id, n_2grams, max_2gram_n, n_3grams, max_3gram_n,
+       (max_2gram_n * 5 <= n_2grams) AS top2_ok,
+       (max_3gram_n * 50 <= n_3grams * 9) AS top3_ok
+FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+ORDER BY g2.doc_id
+"""
+
+
+_QUOTA_PER_SOURCE = 20
+_QUOTA_SALT = "quota-v1"
+
+
+def q_source_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling (domain balancing): keep the first N docs
+    per source in content-hash order — deterministic, engine-stable (the
+    md5 rank replaces rand()), and at scale a single window over the
+    source-partitioned shuffle. The kept set is independent of scan or
+    partition order."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                              F.lit(_QUOTA_SALT)))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+ORACLE_QUOTA = f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_QUOTA_SALT}'),
+                      doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_QUOTA_PER_SOURCE}
+ORDER BY source, rn
+"""
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
+    "repetition_flags": q_repetition_flags,
     "train_val_split": q_train_val_split,
+    "source_quota_sample": q_source_quota_sample,
     "benchmark_contamination": q_benchmark_contamination,
 }
 
 ORACLES = {
     "gopher_quality_flags": ORACLE_GOPHER,
+    "repetition_flags": ORACLE_REPETITION,
     "train_val_split": ORACLE_SPLIT,
+    "source_quota_sample": ORACLE_QUOTA,
     "benchmark_contamination": ORACLE_CONTAMINATION,
 }
