@@ -93,3 +93,21 @@ def test_hot_host_salt_key_in_exchange(spark):
                   r"REPARTITION_BY_NUM", plan)
     assert m, plan[:1200]
     assert m.group(1) == "part_key", m.group(0)
+
+
+def test_corpus_curation_plan_shapes(spark):
+    """Corpus-curation operators keep their scale shapes: the per-doc rule
+    filters are map-only (single Exchange = the presentation sort, no
+    join), decontamination broadcasts the benchmark gram set (never a
+    sort-merge join), and quota sampling is one window over the
+    source-partitioned shuffle."""
+    for name in ("gopher_quality_flags", "train_val_split"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") <= 1, (name, plan[:800])
+        assert "Join" not in plan, name
+    contam = _plan(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in contam
+    assert "SortMergeJoin" not in contam
+    quota = _plan(spark, "source_quota_sample")
+    assert "row_number" in quota
+    assert "Join" not in quota
