@@ -214,6 +214,33 @@ FROM w ORDER BY url
 """
 
 
+def q_extract_with_invalid_rows(spark, sf_dir):
+    """P1 validity gate at the registry surface, oracle-exact: every
+    doc_id % 5 == 0 page is submitted with EMPTY html; run_extract's gate
+    must drop exactly those rows before the UDF (no 'failed' rows, no
+    wasted kernel work), leaving the surviving pages' counts exact."""
+    pages = _pages_from_documents(spark, sf_dir)
+    pages = pages.withColumn(
+        "html",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("").cast("binary"))
+        .otherwise(F.col("html")),
+    )
+    out = _run_extract_salted(spark, pages)
+    return out.select(
+        "url", "status",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+    ).orderBy("url")
+
+
+ORACLE_INVALID_ROWS = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       'completed' AS status,
+       CAST(2 + CAST(ceil(length(text) / 600.0) AS BIGINT) AS BIGINT)
+         AS n_blocks
+FROM documents WHERE doc_id % 5 <> 0 ORDER BY url
+"""
+
+
 def q_extract_hot_host(spark, sf_dir):
     """Skew-stress extraction (SURVEY §7.4): one host carries 30% of the
     corpus and is salted into 8 sub-keys (`hot_hosts` path of run_extract),
@@ -441,6 +468,7 @@ FROM d GROUP BY host ORDER BY host
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_hot_host": q_extract_hot_host,
+    "extract_with_invalid_rows": q_extract_with_invalid_rows,
     "host_profiles": q_host_profiles,
     "extract_roundtrip": q_extract_roundtrip,
     "extract_ja_segments": q_extract_ja_segments,
@@ -451,6 +479,7 @@ QUERIES = {
 ORACLES = {
     "extract_documents": ORACLE_EXTRACT_DOCUMENTS,
     "extract_hot_host": ORACLE_HOT_HOST,
+    "extract_with_invalid_rows": ORACLE_INVALID_ROWS,
     "extract_roundtrip": ORACLE_ROUNDTRIP,
     "extract_ja_segments": ORACLE_JA,
     "extract_figures": ORACLE_FIGURES,

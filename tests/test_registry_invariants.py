@@ -33,4 +33,4 @@ def test_oracles_materialize_to_sql():
 def test_registry_size_frozen_for_round():
     # driver-gate hygiene (VERDICT r2 item 6): grow this ONLY before the
     # gate runs, never after
-    assert len(ALL_QUERIES) == 63
+    assert len(ALL_QUERIES) == 64
