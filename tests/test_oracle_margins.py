@@ -1,0 +1,96 @@
+"""Rounding-margin audit for the float-thresholded oracles.
+
+The cosine queries round to 5 decimals on BOTH engines before comparing
+against thresholds; equal inputs round equally, so the only cross-engine
+hazard is an UNROUNDED cosine sitting within summation-order wobble
+(~1e-12) of a 0.5e-5 rounding boundary. These audits compute every
+relevant cosine in numpy across all three SFs and assert the minimum
+distance to a rounding boundary is orders of magnitude above the wobble —
+the same checked-not-assumed treatment test_kmeans_ivf gives the
+quantizer. (Jaccard needs no audit: intersection/union are integers, so
+both engines divide the SAME two exact doubles and get bit-equal
+results.)
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+_WOBBLE_MARGIN = 1e-7        # >> 1e-12 summation-order differences
+
+
+def _embeddings(sf):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('/root/testdata/{sf}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _boundary_dist(values, decimals=5):
+    """Distance of each value's scaled fractional part from the round-half
+    boundary (the danger zone for cross-engine rounding)."""
+    frac = (np.asarray(values) * 10**decimals) % 1.0
+    return np.abs(frac - 0.5)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cosine_round5_margins(sf):
+    ids, X = _embeddings(sf)
+    nrm = np.linalg.norm(X, axis=1)
+    # query-vector cosines (ann_cosine_top10 vs vec 0; IVF serving vs 42)
+    for qid in (0, 42):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = X @ X[qi] / (nrm * nrm[qi])
+        cos = np.delete(cos, qi)
+        assert _boundary_dist(cos).min() > _WOBBLE_MARGIN, (sf, qid)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_lsh_bucket_pair_cosine_margins(sf):
+    """cosine_neardup_pairs rounds in-bucket pair cosines to 5 decimals and
+    thresholds at 0.30 — audit every in-bucket pair."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark.queries.similarity import _lsh_planes
+
+    ids, X = _embeddings(sf)
+    nrm = np.linalg.norm(X, axis=1)
+    mat = _lsh_planes(X.shape[1])
+    bits = np.round(X @ mat.T, 7) > 0
+    buckets = (bits * (1 << np.arange(bits.shape[1] - 1, -1, -1))).sum(axis=1)
+    dists = []
+    for b in np.unique(buckets):
+        members = np.where(buckets == b)[0]
+        if len(members) < 2:
+            continue
+        sub = X[members]
+        sn = nrm[members]
+        cos = (sub @ sub.T) / np.outer(sn, sn)
+        iu = np.triu_indices(len(members), k=1)
+        dists.append(_boundary_dist(cos[iu]))
+    if dists:
+        assert np.concatenate(dists).min() > _WOBBLE_MARGIN, sf
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_lsh_sign_margins(sf):
+    """The LSH bucket bit is sign(round7(x·plane)) on both engines — audit
+    that no projection sits near the round-7 boundary OR near zero (where
+    the sign itself would be wobble-decided)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark.queries.similarity import _lsh_planes
+
+    _, X = _embeddings(sf)
+    proj = X @ _lsh_planes(X.shape[1]).T
+    assert _boundary_dist(proj, 7).min() > _WOBBLE_MARGIN, sf
+    assert np.abs(np.round(proj, 7)).min() > 1e-7, sf
