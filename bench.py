@@ -162,14 +162,15 @@ def main() -> None:
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 64k docs, "
                       "uniform input files, best-of-3 per level, median of "
-                      "6 quiet paired rounds (BASELINE.md round 3 refresh; "
-                      "a 7th round that overlapped a concurrent oracle-gate "
+                      "8 quiet paired rounds (BASELINE.md round 3 refresh; "
+                      "a 9th round that overlapped a concurrent oracle-gate "
                       "job measured 0.69 and is excluded as host-load "
                       "contamination, documented in BASELINE.md)",
-            "lo_docs_per_sec": 1423.2,
-            "hi_docs_per_sec": 5066.8,
-            "efficiency": 0.885,
-            "paired_rounds": [0.759, 0.953, 1.133, 0.817, 0.740, 0.979],
+            "lo_docs_per_sec": 1261.8,
+            "hi_docs_per_sec": 4810.9,
+            "efficiency": 0.932,
+            "paired_rounds": [0.759, 0.953, 1.133, 0.817, 0.740, 0.979,
+                              0.910, 1.319],
         }
 
     print(json.dumps(result))
