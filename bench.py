@@ -105,7 +105,7 @@ def _scan_split_bytes(sf_dir: str, cpus: int) -> int:
     into ≈2·cpus scan partitions at this SF (the 'size partitions for the
     target scale' rule): the default 128 MB is right for warehouse-scale
     files but leaves a 10 MB bench table on 1-3 of 32 cores. Clamped to
-    [1 MB, 128 MB]; parquet row-group boundaries bound the real split."""
+    [2 MiB, 128 MB]; parquet row-group boundaries bound the real split."""
     biggest = max(
         (os.path.getsize(os.path.join(sf_dir, f))
          for f in os.listdir(sf_dir) if f.endswith(".parquet")),

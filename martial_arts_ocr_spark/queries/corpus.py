@@ -209,13 +209,19 @@ def q_repetition_flags(spark, sf_dir):
 
     g2 = gram_stats(2, "max_2gram_n", "n_2grams")
     g3 = gram_stats(3, "max_3gram_n", "n_3grams")
+    # LEFT join: a 2-token doc has 2-grams but no 3-grams — it must still
+    # get a row, with the 3-gram arm vacuously passing (0·50 ≤ 0·9)
     return (
-        g2.join(g3, "doc_id")
+        g2.join(g3, "doc_id", "left")
         .select(
-            "doc_id", "n_2grams", "max_2gram_n", "n_3grams", "max_3gram_n",
+            "doc_id", "n_2grams", "max_2gram_n",
+            F.coalesce("n_3grams", F.lit(0)).cast("bigint")
+            .alias("n_3grams"),
+            F.coalesce("max_3gram_n", F.lit(0)).cast("bigint")
+            .alias("max_3gram_n"),
             (F.col("max_2gram_n") * 5 <= F.col("n_2grams")).alias("top2_ok"),
-            (F.col("max_3gram_n") * 50
-             <= F.col("n_3grams") * 9).alias("top3_ok"),
+            (F.coalesce("max_3gram_n", F.lit(0)) * 50
+             <= F.coalesce("n_3grams", F.lit(0)) * 9).alias("top3_ok"),
         )
         .orderBy("doc_id")
     )
@@ -250,10 +256,13 @@ g3 AS (
     GROUP BY doc_id, gram)
   GROUP BY doc_id
 )
-SELECT g2.doc_id, n_2grams, max_2gram_n, n_3grams, max_3gram_n,
+SELECT g2.doc_id, n_2grams, max_2gram_n,
+       CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
+       CAST(coalesce(max_3gram_n, 0) AS BIGINT) AS max_3gram_n,
        (max_2gram_n * 5 <= n_2grams) AS top2_ok,
-       (max_3gram_n * 50 <= n_3grams * 9) AS top3_ok
-FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+       (coalesce(max_3gram_n, 0) * 50
+        <= coalesce(n_3grams, 0) * 9) AS top3_ok
+FROM g2 LEFT JOIN g3 ON g2.doc_id = g3.doc_id
 ORDER BY g2.doc_id
 """
 

@@ -141,19 +141,24 @@ def _pages_from_documents(
     )
 
 
-def _run_extract_salted(spark, pages):
-    """The docs.example.com corpus has ONE host — exactly the hot-key skew
-    the engine's salting exists for (an unsalted run pins ALL pages to one
-    partition: host-hash partitioning with a single key). Salt into
-    4·parallelism sub-keys so the kernel runs on every core; byte-identity
-    across partitionings is the pinned invariant, so outputs are unchanged.
+def _run_extract_salted(spark, pages, hosts=("docs.example.com",)):
+    """The synthesized corpora have 1-7 known hosts — low-cardinality keys
+    are exactly the skew the engine's salting exists for (an unsalted run
+    of the single-host corpus pins ALL pages to one partition). Salt every
+    known host into 4·parallelism sub-keys so the kernel runs on every
+    core; byte-identity across partitionings is the pinned invariant, so
+    outputs are unchanged. Call sites must pass the hosts their template
+    actually generates (the default matches the docs.example.com corpora).
     """
     sb = 4 * spark.sparkContext.defaultParallelism
     return run_extract(
         pages.select("url", "html", "lang"),
-        hot_hosts=["docs.example.com"],
+        hot_hosts=list(hosts),
         salt_buckets=sb,
     )
+
+
+_SEVEN_HOSTS = tuple(f"h{i}.example.com" for i in range(7))
 
 
 def q_extract_documents(spark, sf_dir):
@@ -421,7 +426,7 @@ def q_host_profiles(spark, sf_dir):
     pages = _pages_from_documents(
         spark, sf_dir, inject_ja=True, host_from_doc=True
     )
-    out = _run_extract_salted(spark, pages)
+    out = _run_extract_salted(spark, pages, hosts=_SEVEN_HOSTS)
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         lens = pdf["text"].str.len()

@@ -63,6 +63,10 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS
                 F.least(F.col("lbl"),
                         F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
+            # materialize before the self-join below: prop feeds BOTH sides
+            # of the pointer jump, and without a checkpoint the edges-join-
+            # aggregate subtree would execute twice per round
+            .localCheckpoint()
         )
         # pointer jump: lbl := label[lbl] — labels are doc ids, so the map
         # is prop itself; this is what makes rounds logarithmic in diameter

@@ -208,12 +208,19 @@ def kmeans_centroids_spark(emb, k=_N_CENTROIDS, iters=_KMEANS_ITERS):
     return cents
 
 
-def kmeans_centroids_mirror(vectors, k=_N_CENTROIDS, iters=_KMEANS_ITERS):
+def kmeans_centroids_mirror(vectors, k=_N_CENTROIDS, iters=_KMEANS_ITERS,
+                            audit=None):
     """Pure-numpy mirror of ``kmeans_centroids_spark`` — bakes the converged
     centroids into the DuckDB oracle as literals (the xxh64-mirror
     technique). Distance accumulation iterates dimensions in index order to
     reproduce Spark's sequential zip_with/aggregate fold bit-for-bit before
-    the round-7; means differ only below the round-6 threshold."""
+    the round-7; means differ only below the round-6 threshold.
+
+    ``audit``: optional dict that collects the UNROUNDED per-iteration
+    quantities the cross-engine determinism argument rests on —
+    ``raw_dists`` (pre-round-7 squared distances) and ``raw_means``
+    (pre-round-6 cluster means) — so tests can assert they sit far from
+    their rounding boundaries instead of assuming it."""
     import numpy as np
 
     X = np.asarray(vectors, dtype=np.float64)
@@ -228,6 +235,8 @@ def kmeans_centroids_mirror(vectors, k=_N_CENTROIDS, iters=_KMEANS_ITERS):
         for i in range(X.shape[1]):           # sequential fold, same order
             d = X[:, i, None] - C[None, :, i]
             acc += d * d
+        if audit is not None:
+            audit.setdefault("raw_dists", []).append(acc.copy())
         d2 = np.asarray(
             [[round(float(v), _DIST_ROUND) for v in row] for row in acc]
         )
@@ -236,8 +245,10 @@ def kmeans_centroids_mirror(vectors, k=_N_CENTROIDS, iters=_KMEANS_ITERS):
         for j in range(k):
             members = X[assign == j]
             if len(members):
-                new.append(r_list(members.sum(axis=0) / len(members),
-                                  _CENT_ROUND))
+                raw = members.sum(axis=0) / len(members)
+                if audit is not None:
+                    audit.setdefault("raw_means", []).append(raw.copy())
+                new.append(r_list(raw, _CENT_ROUND))
             else:
                 new.append(cents[j])
         cents = new
@@ -275,9 +286,15 @@ def q_ivf_ann_top5(spark, sf_dir):
         emb.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "label", "embedding", "cent_id",
-            (_dot(F.col("embedding"), F.col("cvec"))
-             / (_norm(F.col("embedding")) * _norm(F.col("cvec"))))
-            .alias("ccos"),
+            # round-7 BEFORE the rank: this ordering decides index
+            # membership across engines (Spark sequential fold vs DuckDB
+            # list_cosine_similarity differ in low bits), and ties then
+            # break on cent_id identically — same discipline as the
+            # training-distance round (margin-audited in test_kmeans_ivf)
+            F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("cvec"))), 7,
+            ).alias("ccos"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -322,7 +339,15 @@ def _oracle_ivf() -> str:
     (env SPARK_GRAFT_ORACLE_SF, default sf0.01) — the xxh64/LSH baked-
     literal technique. Registered as a CALLABLE so the parquet read happens
     when ``oracle_sql()`` materializes the dict on the driver, never at
-    module import (executors import this package for the pandas UDFs)."""
+    module import (executors import this package for the pandas UDFs).
+
+    ENV COUPLING (the one oracle that is SF-bound at build time): the
+    Spark query learns centroids from the sf_dir it is invoked with, so a
+    harness comparing at any SF other than sf0.01 MUST export
+    SPARK_GRAFT_ORACLE_SF to that SF before calling oracle_sql() — exactly
+    what tests/oracle_check.py does; the driver gate runs at sf0.01 and
+    needs nothing. Every other oracle reads only the pre-registered views
+    and has no such coupling."""
     import os
 
     import duckdb
@@ -343,9 +368,9 @@ def _oracle_ivf() -> str:
 WITH cents(cent_id, cvec) AS (VALUES {rows}),
 scored AS (
   SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-         list_cosine_similarity(e.embedding, c.cvec) AS ccos,
          row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+             ORDER BY round(CAST(list_cosine_similarity(e.embedding, c.cvec)
+                            AS DOUBLE), 7) DESC,
                       c.cent_id ASC) AS rk
   FROM embeddings e CROSS JOIN cents c
 ), members AS (

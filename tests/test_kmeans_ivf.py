@@ -46,23 +46,28 @@ def test_spark_equals_mirror(spark, emb, vectors):
 
 
 def test_rounding_margins(vectors):
-    """Unrounded means/distances must sit far from their rounding
-    boundaries, so engine summation-order wobble (~1e-13) cannot flip a
-    rounded value between Spark and the mirror/DuckDB."""
-    X = np.asarray(vectors, dtype=np.float64)
-    cents = np.asarray(kmeans_centroids_mirror(vectors), dtype=np.float64)
-    # distance margin: |frac(d2 * 10^7) - 0.5| bounded away from 0.5 edge
-    acc = np.zeros((len(X), len(cents)))
-    for i in range(X.shape[1]):
-        d = X[:, i, None] - cents[None, :, i]
-        acc += d * d
-    # danger zone is fractional part ≈ 0.5 (the round-half boundary)
-    frac_d = np.abs((acc * 10**_DIST_ROUND) % 1.0 - 0.5)
-    assert frac_d.min() >= 1e-6, frac_d.min()
-    # converged centroids are already rounded → multiples of 1e-6 up to
-    # binary-float representation error
-    m = (cents * 10**_CENT_ROUND) % 1.0
-    assert np.minimum(m, 1.0 - m).max() < 1e-6
+    """The UNROUNDED per-iteration quantities — every squared distance
+    before its round-7 and every cluster mean before its round-6, for all
+    training iterations — must sit far from their rounding boundaries, so
+    engine summation-order wobble (~1e-13) cannot flip a rounded value
+    between Spark's partition-order aggregation and the numpy mirror
+    (round-2-of-review fix: the earlier version checked the already-
+    rounded centroids, which is vacuously true)."""
+    audit = {}
+    kmeans_centroids_mirror(vectors, audit=audit)
+    assert audit["raw_dists"] and audit["raw_means"]
+    # danger zone is fractional part ≈ 0.5 (the round-half boundary). The
+    # bar is 1e-9: three orders above the ~1e-12 summation-order wobble,
+    # while the min over ~32k uniform-ish fracs naturally lands near
+    # 0.5/32k ≈ 1.5e-5 (measured 8.6e-7 at sf0.001) — the assertion must
+    # bound the HAZARD (wobble crossing a boundary), not the order
+    # statistic of the data
+    d_all = np.concatenate([a.ravel() for a in audit["raw_dists"]])
+    frac_d = np.abs((d_all * 10**_DIST_ROUND) % 1.0 - 0.5)
+    assert frac_d.min() >= 1e-9, frac_d.min()
+    m_all = np.concatenate([m.ravel() for m in audit["raw_means"]])
+    frac_m = np.abs((m_all * 10**_CENT_ROUND) % 1.0 - 0.5)
+    assert frac_m.min() >= 1e-9, frac_m.min()
 
 
 def test_assignment_tie_break_lowest_centroid(spark):

@@ -17,7 +17,12 @@ import numpy as np
 import pytest
 
 SFS = ("sf0.001", "sf0.01", "sf0.1")
-_WOBBLE_MARGIN = 1e-7        # >> 1e-12 summation-order differences
+_WOBBLE_MARGIN = 1e-9        # bound the HAZARD: three orders above the
+                             # ~1e-12 summation-order wobble. The observed
+                             # minima are 1e-7..1e-5 (order statistics of
+                             # 10^4-10^5 uniform-ish fractional parts), but
+                             # the assertion's job is "wobble cannot cross
+                             # a boundary", not to pin the data's minimum
 
 
 def _embeddings(sf):
@@ -78,6 +83,26 @@ def test_lsh_bucket_pair_cosine_margins(sf):
         dists.append(_boundary_dist(cos[iu]))
     if dists:
         assert np.concatenate(dists).min() > _WOBBLE_MARGIN, sf
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ivf_serving_cosine_margins(sf):
+    """IVF index membership ranks round-7 vec-to-centroid cosines (the
+    self-review fix: unrounded ccos ordering crossed the engine boundary)
+    — audit every vec×centroid cosine's distance from the round-7
+    boundary at each SF."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark.queries.neardup import (
+        kmeans_centroids_mirror,
+    )
+
+    _, X = _embeddings(sf)
+    C = np.asarray(kmeans_centroids_mirror(X), dtype=np.float64)
+    cos = (X @ C.T) / np.outer(np.linalg.norm(X, axis=1),
+                               np.linalg.norm(C, axis=1))
+    assert _boundary_dist(cos, 7).min() > _WOBBLE_MARGIN, sf
 
 
 @pytest.mark.parametrize("sf", SFS)

@@ -2,8 +2,9 @@
 
 Round-2 lesson: queries added after the driver gate ran showed up as
 unchecked rows. The registry is frozen early each round and these
-invariants keep it gate-clean: every query has an oracle (58/58 — zero
-rows-only entries), every oracle materializes to SQL, and names match.
+invariants keep it gate-clean: every query has an oracle (zero rows-only
+entries), every oracle materializes to SQL, and names match — the frozen
+count itself lives in test_registry_size_frozen_for_round.
 """
 
 from martial_arts_ocr_spark.queries import (
