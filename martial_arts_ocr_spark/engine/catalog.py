@@ -105,7 +105,12 @@ def compact_table(spark: SparkSession, root: str, table: str,
         if len(old) <= target_files_per_bucket:
             files_after += len(old)
             continue
-        tmp = bdir + ".compact_tmp"
+        # leading underscore: Spark/Hive readers IGNORE _-prefixed paths,
+        # so a crash mid-compaction leaves an invisible tmp dir instead of
+        # a bogus 'part_bucket=k.compact_tmp' partition value that would
+        # corrupt partition discovery for every subsequent reader
+        tmp = os.path.join(os.path.dirname(bdir),
+                           "_compact_tmp_" + os.path.basename(bdir))
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

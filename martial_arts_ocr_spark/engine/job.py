@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, functions as F
 from ..kernel.pipeline import extract_document
 from .schema import EXTRACTED_SCHEMA
 
-HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+# case-insensitive scheme + optional userinfo ('HTTP://X/..' and
+# 'http://alice@example.com/..' both yield the real host; a case-sensitive
+# scheme match extracted '' for uppercase schemes — one shared partition
+# key — and userinfo leaked into the host)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
 
 _OUT_COLS = [f.name for f in EXTRACTED_SCHEMA.fields]
 

@@ -55,6 +55,21 @@ def _bucketed(pages: DataFrame, n_buckets: int,
     )
 
 
+def read_metrics(spark: SparkSession, root: str) -> DataFrame:
+    """Metrics table with exactly one row per (run_id, part_bucket).
+
+    A crash between the metrics append and the checkpoint write (the
+    commit point) re-runs the wave and appends a SECOND metrics row for
+    its buckets; determinism makes the duplicate byte-identical, so
+    dropDuplicates on the key restores exact totals (self-review fix:
+    summing the raw table double-counted re-run waves). All metrics
+    consumers must read through this helper."""
+    return (
+        catalog.read_table(spark, root, METRICS_TABLE)
+        .dropDuplicates(["run_id", "part_bucket"])
+    )
+
+
 def completed_buckets(spark: SparkSession, root: str, run_id: str) -> set[int]:
     if not catalog.table_exists(root, CHECKPOINT_TABLE):
         return set()
@@ -179,8 +194,10 @@ def run_checkpointed(
          .parquet(catalog.table_path(root, METRICS_TABLE)))
 
         # 3. snapshot entry, then checkpoint rows carrying its id — the
-        # checkpoint write is the commit point (a crash in between re-runs
-        # the wave; the duplicate snapshot entry is harmless lineage noise)
+        # checkpoint write is the commit point. A crash between steps 2
+        # and 3 re-runs the wave: the duplicate snapshot entry is harmless
+        # lineage noise, and the duplicate metrics rows are byte-identical
+        # (determinism) and collapsed by read_metrics' key dedup.
         sid = catalog.append_snapshot(root, EXTRACTED_TABLE, {
             "run_id": run_id, "wave": wave_no, "buckets": [int(b) for b in wave],
         })

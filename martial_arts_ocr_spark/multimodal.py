@@ -138,6 +138,9 @@ def decode_wav(content: bytes):
             )
             if fmt_tag != 1 or bits != 16:
                 raise ValueError("only PCM-16 supported")
+            if channels == 0:
+                # a zero-channel fmt chunk would divide-by-zero downstream
+                raise ValueError("zero channels")
         elif cid == b"data":
             data = chunk
         pos += size + (size & 1)                      # chunks are word-aligned
@@ -172,7 +175,8 @@ def sample_frames(content: bytes, every_k: int = 2) -> list:
     return frames
 
 
-def decode_media(content: bytes, media_type: str) -> dict:
+def decode_media(content: bytes, media_type: str,
+                 digest: bytes | None = None) -> dict:
     """Decode a media blob into 8 float features.
 
     PPM images (and PPM-frame 'videos') decode for REAL: features are
@@ -184,6 +188,12 @@ def decode_media(content: bytes, media_type: str) -> dict:
     deterministic hash-derived features so downstream plumbing (schema,
     batching, joins, ANN over features) still runs with stable values.
     Swap the stub arm for real decoders on a cluster with codec libs.
+
+    ``decode_ok`` means REAL decode: the stub arm returns features with
+    ``decode_ok=False`` so consumers can never mistake hash-noise for
+    pixel/sample statistics (self-review fix — the flag previously said
+    True for stubs). ``digest`` lets the caller pass an already-computed
+    sha256 so stub rows aren't hashed twice.
     """
     import numpy as np
 
@@ -214,29 +224,34 @@ def decode_media(content: bytes, media_type: str) -> dict:
                  float(means[2]), float(gray.std()), float(w) / float(h),
                  float(n_frames)]
         return {"decode_ok": True, "features": feats}
-    digest = hashlib.sha256(content).digest()
+    digest = digest or hashlib.sha256(content).digest()
     feats = [
         int.from_bytes(digest[i:i + 4], "little") / 2**32
         for i in range(0, 32, 4)
     ]
-    return {"decode_ok": True, "features": feats}
+    return {"decode_ok": False, "features": feats}
 
 
 def media_feature_batch(iterator):
-    """mapInPandas worker: media rows → feature rows (Arrow-batched)."""
+    """mapInPandas worker: media rows → feature rows (Arrow-batched).
+
+    Never raises: one malformed blob (a WebP wearing RIFF magic, a garbage
+    PPM header, a truncated frame) must flag its own row, not abort the
+    Spark task — the same never-fail contract as the extraction kernel."""
     for pdf in iterator:
         out = []
         for mid, mtype, content in zip(
             pdf["media_id"], pdf["media_type"], pdf["content"]
         ):
             raw = bytes(content) if content is not None else b""
-            h = hashlib.sha256(raw).hexdigest() if raw else ""
+            dg = hashlib.sha256(raw).digest() if raw else b""
             try:
-                dec = decode_media(raw, mtype)
+                dec = decode_media(raw, mtype, digest=dg)
                 ok, feats = dec["decode_ok"], dec["features"]
-            except NotImplementedError:
+            except Exception:
                 ok, feats = False, None
-            out.append((int(mid), mtype, len(raw), h, ok, feats))
+            out.append((int(mid), mtype, len(raw), dg.hex() if dg else "",
+                        ok, feats))
         yield pd.DataFrame(
             out, columns=["media_id", "media_type", "n_bytes",
                           "content_hash", "decode_ok", "features"],

@@ -60,7 +60,9 @@ def q_run_metrics(spark, sf_dir):
     """Totals over the per-bucket metrics rows of a checkpointed run —
     oracle-exact: the probe pages make every metric SQL-predictable."""
     root = _ensure_run(spark, sf_dir)
-    m = catalog.read_table(spark, root, resume.METRICS_TABLE)
+    # read_metrics dedups (run_id, part_bucket): a crash between metrics
+    # append and checkpoint commit re-runs the wave with identical rows
+    m = resume.read_metrics(spark, root)
     return m.where(F.col("run_id") == _RUN_ID).agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_completed").alias("n_completed"),

@@ -111,7 +111,12 @@ def windowed_quality_metrics(extracted: DataFrame,
                              window: str = "10 minutes",
                              watermark: str = "30 minutes") -> DataFrame:
     """Watermarked event-time windows of extraction quality (A12 analogue
-    for the streaming path; late rows beyond the watermark are dropped)."""
+    for the streaming path; late rows beyond the watermark are dropped).
+
+    Rows with a NULL ``warc_ts`` have no event time and are excluded from
+    every window (standard event-time semantics) — they still count in
+    ``host_running_totals`` and the batch metrics table, so window totals
+    are a lower bound when the source emits null timestamps."""
     return (
         extracted.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("quality"))

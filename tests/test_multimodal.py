@@ -11,7 +11,9 @@ def test_media_features_roundtrip(spark):
     feats = extract_media_features(media, num_partitions=2)
     rows = {r.media_id: r for r in feats.collect()}
     assert len(rows) == 30
-    assert all(r.decode_ok for r in rows.values())
+    # synth_media blobs are stub-arm content: features emitted (plumbing
+    # runs) but decode_ok=False — the flag means REAL codec decode only
+    assert not any(r.decode_ok for r in rows.values())
     assert all(len(r.features) == 8 for r in rows.values())
     assert "content" not in feats.columns          # binary pruned
 
@@ -32,8 +34,41 @@ def test_media_empty_content_flagged(spark):
     rows = {r.media_id: r for r in
             extract_media_features(nulled).collect()}
     assert rows[0].decode_ok is False
-    assert rows[0].features is None
-    assert rows[1].decode_ok is True
+    assert rows[0].features is None                # empty → no features
+    assert rows[1].decode_ok is False              # stub → flagged, but
+    assert len(rows[1].features) == 8              # features still emitted
+
+
+def test_malformed_blobs_flag_rows_not_kill_job(spark):
+    """One bad blob must flag its own row, never abort the task: a WebP
+    wearing RIFF magic, a garbage PPM header, a zero-channel WAV, and a
+    truncated real WAV all yield decode_ok=False rows (self-review fix:
+    ValueError/ZeroDivisionError used to escape the UDF)."""
+    import numpy as np
+
+    from martial_arts_ocr_spark.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav_pcm16,
+    )
+
+    webp = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\0" * 12
+    bad_ppm = b"P6\nnot numbers\n255\n" + b"\0" * 9
+    zero_ch = encode_wav_pcm16(16000, 0, b"")
+    good = encode_wav_pcm16(16000, 1,
+                            np.array([5, -5], dtype="<i2").tobytes())
+    rows_in = [
+        (0, "u0", "audio", bytearray(webp), {"mime": "audio/x", "width": None, "height": None, "duration_ms": None}),
+        (1, "u1", "image", bytearray(bad_ppm), {"mime": "image/x", "width": None, "height": None, "duration_ms": None}),
+        (2, "u2", "audio", bytearray(zero_ch), {"mime": "audio/x", "width": None, "height": None, "duration_ms": None}),
+        (3, "u3", "audio", bytearray(good[:20]), {"mime": "audio/x", "width": None, "height": None, "duration_ms": None}),
+        (4, "u4", "audio", bytearray(good), {"mime": "audio/x", "width": None, "height": None, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows_in, schema=MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert [rows[i].decode_ok for i in range(5)] == [
+        False, False, False, False, True
+    ]
+    assert rows[4].features[0] == 16000.0
 
 
 def test_ppm_codec_real_pixels():

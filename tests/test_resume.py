@@ -86,3 +86,29 @@ def test_metrics_lineage_rows(spark, pages, tmp_path):
     snaps = catalog.read_snapshots(root, EXTRACTED_TABLE)
     assert len(snaps) == 2                     # one per wave
     assert all(s["run_id"] == "r1" for s in snaps)
+
+
+def test_metrics_dedup_after_partial_wave_crash(spark, tmp_path):
+    """Crash window between the metrics append (step 2) and the checkpoint
+    commit (step 3): the re-run wave appends byte-identical metrics rows.
+    read_metrics must collapse them so lineage totals stay exact, while a
+    raw read shows the duplication it guards against."""
+    from martial_arts_ocr_spark.engine import catalog as cat
+    from martial_arts_ocr_spark.engine.resume import read_metrics
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "wh")
+    pages = spark.createDataFrame(pages_pandas(40))
+    run_checkpointed(spark, pages, root, run_id="dup", n_buckets=4,
+                     batch_size=4)
+    mpath = cat.table_path(root, METRICS_TABLE)
+    raw = spark.read.parquet(mpath)
+    # simulate the crash-replay: append an exact copy of one bucket's row
+    one = raw.limit(1)
+    one.write.mode("append").parquet(mpath)
+    raw_docs = (spark.read.parquet(mpath)
+                .agg(F.sum("n_docs").alias("s")).head()["s"])
+    dedup_docs = (read_metrics(spark, root)
+                  .agg(F.sum("n_docs").alias("s")).head()["s"])
+    assert dedup_docs == 40
+    assert raw_docs > 40                   # the raw table IS duplicated

@@ -119,3 +119,19 @@ def test_flagship_quality_margin(spark):
     assert agg["min_conf"] >= 0.85, agg
     assert agg["n_langs"] == 1 and agg["lang"] == "en"
     assert agg["n_status"] == 1
+
+
+def test_host_regex_scheme_case_and_userinfo(spark):
+    """HOST_RE edge cases from real crawls (self-review fix): uppercase
+    schemes must not collapse every row to host '' (artificial skew) and
+    userinfo must not leak into the partition key."""
+    rows = [
+        ("HTTP://Example.com/x", "Example.com"),
+        ("https://user@example.com/p", "example.com"),
+        ("https://a:pw@h.example.com:8080/p?q=1", "h.example.com"),
+        ("https://plain.example.com/p", "plain.example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = {r["url"]: r["host"] for r in with_host(df).collect()}
+    for u, want in rows:
+        assert got[u] == want, (u, got[u])
