@@ -36,12 +36,28 @@ _ALIASES = {
 
 
 def declared_charset(html: bytes) -> str | None:
-    """Charset from a ``<meta charset=...>`` in the first 2048 bytes."""
+    """Charset from a ``<meta charset=...>`` in the first 2048 bytes.
+
+    Any codec Python knows is honored (review-found: the old western-only
+    alias whitelist silently dropped declared shift_jis/euc-jp, decoding
+    Japanese pages as latin-1 mojibake and destroying the ja pipeline);
+    the alias table only canonicalizes common spellings, and an unknown
+    name returns None so the candidate loop falls back deterministically.
+    """
     m = _META_CHARSET_RE.search(html[:2048])
     if not m:
         return None
     name = m.group(1).decode("ascii", "replace").lower()
-    return _ALIASES.get(name)
+    canon = _ALIASES.get(name)
+    if canon:
+        return canon
+    import codecs
+
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
 
 
 def _penalty(text: str) -> int:

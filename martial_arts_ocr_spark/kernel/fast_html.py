@@ -48,7 +48,9 @@ _ATTR_RE = re.compile(
 )
 
 # only these attributes influence segmentation — skip attr parsing unless
-# the raw attr string can contain one (cheap substring prefilter)
+# the raw attr string can contain one (cheap substring prefilter over the
+# LOWERCASED raw string: html.parser lowercases attr names, so 'Class='
+# must trigger parsing too — review-found parity bug, now fuzz-covered)
 _INTERESTING = ("class", "id", "alt")
 
 _RAWTEXT_END = {
@@ -245,12 +247,15 @@ def tokenize_into(handler, html_text: str) -> None:
                 continue
             tag = m.group(1).lower()
             raw_attrs = m.group(2)
-            attrs = (
-                _parse_attrs(raw_attrs)
-                if raw_attrs and ("class" in raw_attrs or "id" in raw_attrs
-                                  or "alt" in raw_attrs)
-                else []
-            )
+            if raw_attrs:
+                ra = raw_attrs.lower()
+                attrs = (
+                    _parse_attrs(raw_attrs)
+                    if any(k in ra for k in _INTERESTING)
+                    else []
+                )
+            else:
+                attrs = []
             if m.group(3):
                 handler.handle_startendtag(tag, attrs)
             else:

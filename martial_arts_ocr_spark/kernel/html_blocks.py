@@ -264,8 +264,6 @@ class _BlockParser(HTMLParser):
             return
         if self.skip_depth:
             return
-        if tag == "a" and self.anchor_depth:
-            self.anchor_depth -= 1
         if tag == "figcaption" and self.cur is not None and self.figure_stack:
             cap = _WS_RE.sub(" ", "".join(self.cur_parts)).strip()
             if cap:
@@ -273,16 +271,39 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             if tag == "figure" and self.figure_stack:
-                self.figure_stack.pop()
+                fig = self.figure_stack.pop()
+                # the <figure>'s own block is discarded by _flush when the
+                # element has no direct text — its img-alt/figcaption
+                # caption would be lost (review-found). Transfer it to the
+                # nearest emitted block inside the figure subtree, which
+                # is what forms the region.
+                if fig.caption and not fig.text:
+                    for b in reversed(self.blocks):
+                        if b.start < fig.start:
+                            break
+                        if b.is_figure and not b.caption:
+                            b.caption = fig.caption
+                            break
         # pop matching frame (lenient to tag soup); well-formed HTML always
-        # hits the top-of-stack fast path
+        # hits the top-of-stack fast path. anchor_depth is maintained AT
+        # the pop so an unclosed <a> swept away by an outer close tag
+        # releases its anchor state — the old explicit decrement on
+        # </a> alone leaked anchor_depth forever on tag soup and rejected
+        # every later block as a link farm (review-found).
         stack = self.stack
         if stack:
             if stack[-1].tag == tag:
+                if tag == "a" and self.anchor_depth:
+                    self.anchor_depth -= 1
                 stack.pop()
             else:
                 for i in range(len(stack) - 2, -1, -1):
                     if stack[i].tag == tag:
+                        swept_a = sum(1 for f in stack[i:] if f.tag == "a")
+                        if swept_a:
+                            self.anchor_depth = max(
+                                0, self.anchor_depth - swept_a
+                            )
                         del stack[i:]
                         break
 

@@ -35,9 +35,13 @@ TRAILING_SHARE_CHAIN_RE = re.compile(
 )
 
 # "Read more", "Continue reading", "Related articles: ..." tails — literal
-# prefixes fail in O(1) per position; no ambiguity, safe as a regex
+# prefixes fail in O(1) per position; no ambiguity, safe as a regex.
+# (?:^|\s) anchors the phrase at a word start: without it, \s* matched
+# EMPTY and the rule truncated legitimate prose mid-word ('largely unread
+# more' lost 'read more' out of 'unread'; review-found). The boundary is
+# consumed only when it is whitespace, which the strip already removes.
 _READMORE_RE = re.compile(
-    r"\s*(?:Read more|Continue reading|Related(?: articles| posts)?:"
+    r"(?:(?<=\s)|^)(?:Read more|Continue reading|Related(?: articles| posts)?:"
     r"[^.]*)\s*$",
     re.IGNORECASE,
 )

@@ -46,19 +46,21 @@ class ConsolidationEvent:
 
 
 def detect_figures(decisions: list[BlockDecision]) -> list[Region]:
-    """Figure-anchored region proposal; one region per figure-ish block."""
+    """Figure-anchored region proposal; one region per ACCEPTED figure-ish
+    block — a rejected chrome table must not emit a region whose span
+    points into text that was dropped from the output (review-found)."""
     regions: list[Region] = []
     rid = 0
     sig_groups: dict[tuple[str, str], int] = {}
     for d in decisions:
         b = d.block
-        if not b.is_figure:
+        if not b.is_figure or not d.accept:
             continue
         key = (b.parent_path, b.sibling_sig)
         sig_groups[key] = sig_groups.get(key, 0) + 1
     for d in decisions:
         b = d.block
-        if not b.is_figure:
+        if not b.is_figure or not d.accept:
             continue
         rid += 1
         rtype = "table" if b.tag in {"table", "td", "th", "tr", "caption"} else "figure"

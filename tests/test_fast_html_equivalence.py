@@ -45,6 +45,10 @@ _FRAGS = [
     "<iframe>framed</iframe>", "<style/>",
     # stdlib-tolerant junk constructs (html.parser *_tolerant regexes)
     "<A,>", "<p =>", "<a b=c,>", "<div 'x'>", "</ p>", "</p x>", "</>",
+    # uppercase attr names: html.parser lowercases them; the fast engine's
+    # prefilter must too (review-found parity bug)
+    "<div Class='footer'>", "<span ID=nav>", "<img ALT='Pic'/>",
+    "<DIV CLASS=\"menu\">m</DIV>",
     "</3>", "<p/q>", "<p a='1'b=2>", "<x\x00y>", "</p attr='>'>",
     # '>'-reaching backtracking decompositions stdlib's greedy parse
     # never takes (soak-found): '=' -named attrs, quoted '>' at EOF,
@@ -76,3 +80,38 @@ def test_seeded_soups_identical():
 def test_hypothesis_soups_identical(s):
     a, b = _both(s)
     assert a == b
+
+
+def test_uppercase_attr_names_identical():
+    """html.parser lowercases attribute names, so Class=/ID=/ALT= must
+    drive chrome/caption logic identically in the fast engine (its
+    substring prefilter was case-sensitive — review-found)."""
+    cases = (
+        '<div Class="footer">chrome text here</div><p>body</p>',
+        "<span ID=sidebar>s</span><p>b</p>",
+        '<figure><img ALT="Kata"><figcaption>c</figcaption></figure>',
+        '<DIV CLASS="nav menu">m</DIV><p>x</p>',
+    )
+    for s in cases:
+        a, b = _both(s)
+        assert a == b, repr(s)
+    fast = segment_blocks(
+        '<div Class="footer">chrome</div><p>body text</p>', engine="fast"
+    )
+    assert any(bl.chrome_class for bl in fast)
+
+
+def test_unclosed_anchor_releases_anchor_state():
+    """An unclosed <a> swept by an outer close tag must not poison every
+    later block's link density (review-found anchor_depth leak)."""
+    html = (
+        "<p>First paragraph of real body text.</p>"
+        '<p><a href="/y">about us</a then broken</p>'
+        "<div>Plain body section one with several words.</div>"
+        "<div>Plain body section two with several words.</div>"
+    )
+    for engine in ("fast", "stdlib"):
+        blocks = segment_blocks(html, engine=engine)
+        tail = [b for b in blocks if b.text.startswith("Plain body")]
+        assert len(tail) == 2, engine
+        assert all(b.n_anchor_chars == 0 for b in tail), engine

@@ -149,3 +149,53 @@ def test_encoding_latin1_meta():
     row = extract_document("https://x.test/4", html)
     assert row["encoding"] == "latin-1"
     assert "café" in row["text"]
+
+
+def test_caption_survives_empty_figure_block():
+    """img-alt on a <figure> with no direct text must reach the region
+    (the figure's own block is discarded by the flush — review-found)."""
+    from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+    html = ("<html><body><article>"
+            "<p>Intro paragraph with enough words to stand alone.</p>"
+            '<figure><img src="k.png" alt="Kata diagram">'
+            "<p>Figure one shows the opening stance.</p></figure>"
+            "</article></body></html>").encode()
+    row = extract_document("https://x.test/cap", html, "en")
+    caps = [f["caption"] for f in row["figures"]]
+    assert "Kata diagram" in caps, row["figures"]
+
+
+def test_rejected_chrome_table_emits_no_region():
+    """detect_figures must skip rejected blocks: a footer table's region
+    would span text absent from the output (review-found)."""
+    from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+    html = ("<html><body><article>"
+            "<p>Main content paragraph one with plenty of words here.</p>"
+            "<p>Main content paragraph two with plenty of words here.</p>"
+            "</article>"
+            '<footer class="footer"><table><tr><td>privacy policy | '
+            "cookie policy | terms of use</td></tr></table></footer>"
+            "</body></html>").encode()
+    row = extract_document("https://x.test/fig", html, "en")
+    assert row["figures"] == [], row["figures"]
+    assert "privacy policy" not in row["text"]
+
+
+def test_declared_shift_jis_charset_honored():
+    """A declared non-western charset must be used as a decode candidate
+    (review-found: the whitelist turned declared shift_jis into latin-1
+    mojibake, destroying the ja pipeline)."""
+    from martial_arts_ocr_spark.kernel.encoding import decode_html
+    from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+    body = "空手道の歴史は沖縄にある。"
+    html = ('<html><head><meta charset="shift_jis"></head><body>'
+            f"<p>{body}</p></body></html>").encode("shift_jis")
+    text, enc = decode_html(html)
+    assert body in text
+    assert enc == "shift_jis"
+    row = extract_document("https://x.test/sjis", html, "ja")
+    assert row["ja_ratio"] > 0
+    assert body.rstrip("。") in row["text"]

@@ -155,3 +155,16 @@ def test_refine_flood_is_fast():
         t0 = time.perf_counter()
         process_lines(flood)
         assert time.perf_counter() - t0 < 3.0
+
+
+def test_readmore_requires_word_boundary():
+    """'Read more' stripping must not truncate prose mid-word
+    (review-found: 'largely unread more' lost 'read more' from 'unread')."""
+    from martial_arts_ocr_spark.kernel.refine import refine_text
+
+    keep = "Essays on budo remain largely unread more"
+    assert refine_text(keep)[0] == keep
+    stripped, changed = refine_text(
+        "A full paragraph of real content sits here. Read more"
+    )
+    assert changed and stripped.endswith("here.")
