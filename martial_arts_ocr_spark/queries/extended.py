@@ -305,12 +305,19 @@ def q_events_sliding_windows(spark, sf_dir):
     )
 
 
+# window starts via NAIVE-timestamp interval arithmetic: the old
+# to_timestamp(...)::TIMESTAMP round-trip passed through TIMESTAMPTZ and
+# applied the DuckDB session TimeZone, shifting every window by the UTC
+# offset on any non-UTC host while Spark's F.window on TIMESTAMP_NTZ is
+# TZ-free (review-found; green before only because this box is UTC)
 ORACLE_SLIDING = """
 WITH assigned AS (
-  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP)
+  SELECT TIMESTAMP '1970-01-01'
+           + to_seconds(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
            AS window_start, value FROM events
   UNION ALL
-  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)) AS TIMESTAMP)
+  SELECT TIMESTAMP '1970-01-01'
+           + to_seconds(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
            AS window_start, value FROM events
 )
 SELECT window_start, CAST(count(*) AS BIGINT) AS n,

@@ -83,6 +83,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum({TEMPLATE_CONST_BYTES} + 2 * length(source) + length(text)
             + 7 * (length(text) // 600))
             AS BIGINT) AS n_bytes_in,
+       -- ceil(len/600)-1 is -1 for an EMPTY text (the kernel would emit
+       -- title+h1 only, a different formula entirely); the corpus
+       -- precondition test pins non-empty, newline-free, ASCII text at
+       -- every SF, which is exactly the domain where this is exact
        CAST(sum(2 * length(source) + 4 + length(text)
             + 2 * (CAST(ceil(length(text) / 600.0) AS BIGINT) - 1))
             AS BIGINT) AS n_chars_out

@@ -53,16 +53,21 @@ def q_cosine_neardup_pairs(spark, sf_dir):
     equi-join on bucket id → exact cosine only inside buckets (never
     all-pairs). Oracle reproduces the buckets via the baked-literal
     hyperplane matrix."""
-    from .similarity import _lsh_signature_udf
+    from .similarity import _SIG_CACHE, _lsh_signature_udf
 
-    sig = _lsh_signature_udf()
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding",
-        sig(F.col("embedding")).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
-    ).persist()          # signatures computed ONCE and reused by both join
-    # sides (at warehouse scale this is a materialized signature table;
-    # without it the self-join evaluates the signature UDF twice per row)
+    key = (spark.sparkContext.applicationId, sf_dir, "cosine_nd")
+    emb = _SIG_CACHE.get(key)
+    if emb is None:
+        sig = _lsh_signature_udf()
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", "embedding",
+            sig(F.col("embedding")).alias("bucket"),
+            _norm(F.col("embedding")).alias("nrm"),
+        ).persist()      # signatures computed ONCE per session and reused
+        # by both join sides (materialized signature table at warehouse
+        # scale); the session-keyed cache stops repeated invocations from
+        # leaking a new persist() per call (review-found)
+        _SIG_CACHE[key] = emb
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -91,12 +96,12 @@ WITH sig AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       round(CAST(list_cosine_similarity(a.embedding, b.embedding)
-             AS DOUBLE), 5) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 5) AS cosine
 FROM sig a JOIN sig b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
-      AS DOUBLE), 5) >= 0.30
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])), 5) >= 0.30
 ORDER BY vec_a, vec_b
 """
 
@@ -369,8 +374,8 @@ WITH cents(cent_id, cvec) AS (VALUES {rows}),
 scored AS (
   SELECT e.vec_id, e.label, e.embedding, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(CAST(list_cosine_similarity(e.embedding, c.cvec)
-                            AS DOUBLE), 7) DESC,
+             ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), c.cvec), 7) DESC,
                       c.cent_id ASC) AS rk
   FROM embeddings e CROSS JOIN cents c
 ), members AS (
@@ -381,8 +386,8 @@ scored AS (
   FROM scored WHERE vec_id = 42 AND rk <= {_N_PROBE}
 )
 SELECT DISTINCT m.vec_id, m.label,
-       round(CAST(list_cosine_similarity(m.embedding, q.qvec) AS DOUBLE), 5)
-         AS cosine
+       round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+             CAST(q.qvec AS DOUBLE[])), 5) AS cosine
 FROM members m JOIN qprobe q ON m.cent_id = q.probe_cent
 WHERE m.vec_id <> 42
 ORDER BY cosine DESC, m.vec_id ASC

@@ -41,4 +41,13 @@ def test_driver_corpus_oracle_preconditions():
         ).fetchone()
         assert n_bad == 0, (sf, n_bad)
         assert n_empty == 0, (sf, n_empty)
+        # printable-ASCII only: the sketch UDFs tokenize with Python
+        # str.split() (Unicode whitespace) while the oracles use RE2 \s
+        # (ASCII) — equivalent ONLY on this corpus class (review-found)
+        n_nonascii = con.execute(
+            f"""SELECT sum(CASE WHEN regexp_matches(text, '[^ -~]')
+                              THEN 1 ELSE 0 END)
+               FROM read_parquet('/root/testdata/{sf}/documents.parquet')"""
+        ).fetchone()[0]
+        assert n_nonascii == 0, (sf, n_nonascii)
     con.close()
