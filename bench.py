@@ -21,6 +21,11 @@ import json
 import os
 import sys
 import time
+from statistics import median
+
+
+def _median(xs):
+    return round(median(xs), 3)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -159,18 +164,28 @@ def main() -> None:
     else:
         # last measured numbers (see BASELINE.md "Measured" for provenance);
         # re-measure live with SPARK_GRAFT_SCALING=1
+        # Outlier policy is SYMMETRIC (round-3 ADVICE: excluding only the
+        # contaminated low round while keeping a >1 outlier flatters the
+        # median): alongside the quiet-8 median we report the median with
+        # the contaminated round included and the both-tails-trimmed
+        # median (drop min AND max of all 9).  All three clear the ≥0.8
+        # north rule.
+        rounds_quiet = [0.759, 0.953, 1.133, 0.817, 0.740, 0.979,
+                        0.910, 1.319]
+        rounds_all = sorted(rounds_quiet + [0.690])
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 64k docs, "
-                      "uniform input files, best-of-3 per level, median of "
-                      "8 quiet paired rounds (BASELINE.md round 3 refresh; "
-                      "a 9th round that overlapped a concurrent oracle-gate "
-                      "job measured 0.69 and is excluded as host-load "
-                      "contamination, documented in BASELINE.md)",
+                      "uniform input files, best-of-3 per level, 9 paired "
+                      "rounds (BASELINE.md round 3 refresh; one round "
+                      "overlapped a concurrent oracle-gate job — 0.69, "
+                      "host-load contamination); symmetric outlier "
+                      "reporting per round-3 ADVICE",
             "lo_docs_per_sec": 1261.8,
             "hi_docs_per_sec": 4810.9,
-            "efficiency": 0.932,
-            "paired_rounds": [0.759, 0.953, 1.133, 0.817, 0.740, 0.979,
-                              0.910, 1.319],
+            "efficiency": _median(rounds_quiet),
+            "efficiency_incl_contaminated": _median(rounds_all),
+            "efficiency_sym_trimmed": _median(rounds_all[1:-1]),
+            "paired_rounds": rounds_quiet,
         }
 
     print(json.dumps(result))

@@ -184,7 +184,9 @@ def q_extract_documents(spark, sf_dir):
 # Quality staircase (kernel/pipeline.py:215-220): 'high' needs confidence
 # ≥0.8 AND n_words ≥50. On template pages consensus confidence is 0.90-0.93
 # (both extractors agree on every block; test_flagship_quality_margin pins
-# the ≥0.8 margin), so quality is exactly the word-count test. n_words of
+# the ≥0.8 margin), so quality is exactly the word-count test — including
+# the 'low' arm (n_chars<20 OR n_words<5, pipeline.py:215) so a short-text
+# corpus doc cannot silently diverge (round-3 ADVICE). n_words of
 # the extracted text = words(title) + words(h1) + words(text), plus one
 # extra word per 600-char chunk boundary that lands strictly inside a word
 # (the '</p><p>' insert splits it) — validated char-exact vs the kernel.
@@ -212,7 +214,10 @@ SELECT url,
        CAST(2 + n_chunks AS BIGINT) AS n_blocks,
        CAST(2 AS BIGINT) AS n_rejected,
        'en' AS lang_detected,
-       CASE WHEN n_words >= 50 THEN 'high' ELSE 'medium' END AS quality,
+       CASE WHEN 2 * length(source) + 4 + length(text) + 2 * (n_chunks - 1)
+                 < 20 OR n_words < 5 THEN 'low'
+            WHEN n_words >= 50 THEN 'high'
+            ELSE 'medium' END AS quality,
        CAST(2 * length(source) + 4 + length(text) + 2 * (n_chunks - 1)
             AS BIGINT) AS text_len
 FROM w ORDER BY url

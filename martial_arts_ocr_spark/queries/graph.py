@@ -14,7 +14,16 @@ Pointer jumping makes the round count O(log diameter) — a 2^50-diameter
 chain converges inside the cap — and the changed-label count makes
 termination exact rather than assumed. Each round is two shuffle joins +
 one aggregate; labels are localCheckpoint()ed per round so the logical
-plan stays flat instead of doubling (round-2 ADVICE item).
+plan stays flat instead of doubling (round-2 ADVICE item), and each
+round frees the PREVIOUS round's checkpoint blocks (round-3 ADVICE item:
+block-manager storage would otherwise grow O(rounds) per invocation).
+
+Reliability trade: ``localCheckpoint`` stores blocks non-replicated on
+executors — an executor loss mid-loop fails the job (no lineage to
+recompute from). Acceptable here because the loop is short (O(log
+diameter) rounds) and restartable from the edges; a fault-tolerant 100 TB
+deployment would set ``spark.checkpoint.dir`` and use reliable
+``checkpoint()`` instead, at the cost of one HDFS round-trip per round.
 
 Reference analogue for the fixed-point shape: the region-merge loop in
 ``/root/reference/utils/image/layout/post/merge.py:21-94`` iterates until
@@ -35,6 +44,25 @@ _MAX_ROUNDS = 50     # safety cap only: pointer jumping converges in
                      # O(log diameter) rounds, so 50 covers any graph that
                      # could physically exist; the loop exits on the first
                      # round with zero changed labels
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint()ed DataFrame's blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries, not the
+    checkpointed RDD (verified empirically on pyspark 4.1: blocks survive
+    both unpersist and driver GC).  The checkpointed Dataset's analyzed
+    plan is a ``LogicalRDD`` whose ``rdd()`` accessor IS the persisted
+    RDD, so unpersisting that frees the block-manager storage.  Internal
+    API — guarded so a Spark upgrade degrades to the old (leaky but
+    correct) behavior instead of failing the query.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS
@@ -88,6 +116,10 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the convergence count was the last reader of this round's prop
+        # and of the previous round's labels — free their checkpoint blocks
+        _free_local_checkpoint(prop)
+        _free_local_checkpoint(labels)
         labels = jumped
         if changed == 0:
             break

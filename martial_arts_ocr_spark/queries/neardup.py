@@ -53,7 +53,7 @@ def q_cosine_neardup_pairs(spark, sf_dir):
     equi-join on bucket id → exact cosine only inside buckets (never
     all-pairs). Oracle reproduces the buckets via the baked-literal
     hyperplane matrix."""
-    from .similarity import _SIG_CACHE, _lsh_signature_udf
+    from .similarity import _SIG_CACHE, _lsh_signature_udf, _sig_cache_put
 
     key = (spark.sparkContext.applicationId, sf_dir, "cosine_nd")
     emb = _SIG_CACHE.get(key)
@@ -67,7 +67,7 @@ def q_cosine_neardup_pairs(spark, sf_dir):
         # by both join sides (materialized signature table at warehouse
         # scale); the session-keyed cache stops repeated invocations from
         # leaking a new persist() per call (review-found)
-        _SIG_CACHE[key] = emb
+        _sig_cache_put(spark, key, emb)
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -370,6 +370,9 @@ def _oracle_ivf() -> str:
         for j, c in enumerate(cents)
     )
     return f"""
+-- IVF centroid literals learned from: {sf}/embeddings.parquet
+-- (if this path is not the SF under comparison, export
+--  SPARK_GRAFT_ORACLE_SF=<sf_dir> before materializing oracles)
 WITH cents(cent_id, cvec) AS (VALUES {rows}),
 scored AS (
   SELECT e.vec_id, e.label, e.embedding, c.cent_id,

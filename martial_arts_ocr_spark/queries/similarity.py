@@ -153,6 +153,19 @@ def _lsh_signature_udf():
 _SIG_CACHE: dict[tuple, "object"] = {}
 
 
+def _sig_cache_put(spark, key, df) -> None:
+    """Insert into _SIG_CACHE, first evicting entries from other Spark
+    applications: cache keys lead with applicationId, and classic pyspark
+    runs one active context per process, so any other appId belongs to a
+    stopped session whose persisted DataFrames would otherwise stay
+    referenced for the process lifetime (round-3 ADVICE; pytest runs many
+    sessions in one process)."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _SIG_CACHE if k[0] != app]:
+        del _SIG_CACHE[k]
+    _SIG_CACHE[key] = df
+
+
 def _lsh_signatures_cached(spark, sf_dir):
     """Persisted (vec_id, label, bucket) signature table, cached per
     (session, sf_dir): repeated invocations in one process (gate + bench
@@ -166,7 +179,7 @@ def _lsh_signatures_cached(spark, sf_dir):
         df = _emb(spark, sf_dir).select(
             "vec_id", "label", sig(F.col("embedding")).alias("bucket")
         ).persist()
-        _SIG_CACHE[key] = df
+        _sig_cache_put(spark, key, df)
     return df
 
 
@@ -459,7 +472,7 @@ def q_simhash_neardup_pairs(spark, sf_dir):
         sigs = d.unionByName(pert).select(
             "doc_id", sh(F.col("text")).alias("simhash")
         ).persist()      # sketch once per session; both join sides reuse
-        _SIG_CACHE[key] = sigs
+        _sig_cache_put(spark, key, sigs)
     bands = sigs.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
