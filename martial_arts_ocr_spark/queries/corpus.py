@@ -129,11 +129,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+# External benchmark probe fixture (round-3 VERDICT item 5: real
+# decontamination joins a SEPARATE eval-suite table, not a doc_id-mod
+# self-probe).  Each probe is (bench_id, source_doc, 1-based token start):
+# the eval suite "quotes" an 8-gram from a known document — the organic way
+# eval data leaks into crawls.  Deterministic, tiny, valid at every SF
+# (doc_ids < 500, starts small enough for the shortest variant of each
+# doc; a probe whose doc is still too short is skipped identically on both
+# sides by the length guard).
+_BENCH_PROBES = (
+    (0, 2, 1), (1, 3, 4), (2, 7, 2), (3, 11, 3), (4, 13, 1),
+    (5, 19, 4), (6, 23, 2), (7, 31, 1), (8, 37, 3), (9, 41, 2),
+)
+
+
 def q_benchmark_contamination(spark, sf_dir):
-    """Decontamination: docs sharing any 8-gram with the benchmark probe
-    set (doc_id % 50 == 0 stands in for an eval suite). Gram hashes
-    shuffle once; the benchmark gram set is tiny → at scale it broadcasts
-    and the check is map-only over the corpus."""
+    """Decontamination against an EXTERNAL benchmark probe table: a
+    registered ``benchmarks`` view of (bench_id, gram_hash) rows — eval
+    8-grams quoted from known source docs — is broadcast and semi-joined
+    against the corpus gram stream.  Output: per contaminated doc, how
+    many distinct probe grams it shares and how many distinct benchmark
+    entries flagged it.  At 100 TB the probe set stays KBs (real eval
+    suites are thousands of rows) → BroadcastHashJoin, map-only over the
+    corpus scan; the gram explode is the only shuffle-free heavy op and
+    feeds a single partial-agg groupBy."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).where(F.size("toks") >= _CONTAM_K)
@@ -146,16 +165,32 @@ def q_benchmark_contamination(spark, sf_dir):
             )
         ).alias("gram_hash"),
     )
-    bench = grams.where(F.col("doc_id") % 50 == 0) \
-        .select("gram_hash").distinct()
+    probes = spark.createDataFrame(
+        list(_BENCH_PROBES), "bench_id int, src_doc int, start int"
+    )
+    bench = (
+        probes.join(d, probes.src_doc == d.doc_id)
+        .where(F.size("toks") >= F.col("start") + _CONTAM_K - 1)
+        .select(
+            "bench_id",
+            F.md5(F.concat_ws(
+                " ", F.slice("toks", F.col("start"), _CONTAM_K)
+            )).alias("gram_hash"),
+        )
+    )
+    bench.createOrReplaceTempView("benchmarks")
     return (
-        grams.where(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(bench), "gram_hash")
+        grams.join(F.broadcast(bench), "gram_hash")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram_hash").alias("n_contaminated_grams"))
+        .agg(
+            F.countDistinct("gram_hash").alias("n_contaminated_grams"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_benchmarks"),
+        )
         .orderBy("doc_id")
     )
 
+
+_PROBE_ROWS = ", ".join(f"({b}, {d}, {s})" for b, d, s in _BENCH_PROBES)
 
 ORACLE_CONTAMINATION = f"""
 WITH toks AS (
@@ -169,11 +204,18 @@ grams AS (
              i -> array_to_string(ts[i:i+{_CONTAM_K - 1}], ' ')))) AS gram_hash
   FROM toks WHERE len(ts) >= {_CONTAM_K}
 ),
-bench AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 50 = 0)
+probes(bench_id, src_doc, start) AS (VALUES {_PROBE_ROWS}),
+bench AS (
+  SELECT p.bench_id,
+         md5(array_to_string(t.ts[p.start:p.start + {_CONTAM_K - 1}], ' '))
+           AS gram_hash
+  FROM probes p JOIN toks t ON t.doc_id = p.src_doc
+  WHERE len(t.ts) >= p.start + {_CONTAM_K - 1}
+)
 SELECT g.doc_id,
-       CAST(count(DISTINCT g.gram_hash) AS BIGINT) AS n_contaminated_grams
+       CAST(count(DISTINCT g.gram_hash) AS BIGINT) AS n_contaminated_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmarks
 FROM grams g JOIN bench b USING (gram_hash)
-WHERE g.doc_id % 50 <> 0
 GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
@@ -267,6 +309,173 @@ ORDER BY g2.doc_id
 """
 
 
+# --- Gopher line-shape rules (the §A1.1 remainder, round-3 VERDICT #4) ---------
+
+_LINE_W = 12     # tokens per pseudo-line in the derived multi-line corpus
+_DUP_REPS = 3    # extra copies of line 1 in the duplication variant
+
+
+def q_gopher_line_flags(spark, sf_dir):
+    """The rest of the published Gopher §A1.1 rule set — the rules that
+    look at LINE shape rather than word shape: symbol-to-word ratio
+    (# + '...' occurrences ≤ 0.1/word), bullet-start line fraction
+    (≤ 90%), ellipsis-end line fraction (≤ 30%), duplicate-line fraction
+    (≤ 30%) and duplicate-line CHARACTER fraction (≤ 20%). Reference
+    analogue for the line-shape family: the aggressive line filter,
+    /root/reference/utils/text/text_utils.py:196-219.
+
+    The driver corpus is newline-free bag-of-words, so the demo input
+    derives a deterministic multi-line corpus (the simhash_neardup_pairs
+    technique): each doc's tokens chunked into 12-token pseudo-lines,
+    unioned with a duplication variant (doc_id+200000: line 1 repeated 3
+    extra times — trips the dup rules on short docs) and a decorated
+    variant (doc_id+400000: every line bulleted, every 3rd ellipsis-ended
+    — trips bullet/ellipsis/symbol). At scale the input is the corpus
+    itself and the operator is pure per-row column algebra over the line
+    array: NO shuffle, no explode — it fuses into the scan.
+
+    Every threshold is integer cross-multiplication (max·10 ≤ n·9 etc.) so
+    no float crosses the engine boundary."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    lines = F.transform(
+        F.sequence(F.lit(1),
+                   F.ceil(F.size("toks") / _LINE_W).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice("toks", (i - 1) * _LINE_W + 1, _LINE_W)),
+    )
+    base = d.select("doc_id", lines.alias("lines"))
+    dup = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.array_repeat(F.element_at("lines", 1), _DUP_REPS),
+                 F.col("lines")).alias("lines"),
+    )
+    deco = base.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.transform(
+            "lines",
+            # 1-based j = i + 1 (matches the oracle's generate_series(1, n));
+            # the '# ' marker sits AFTER the bullet so the line still counts
+            # as bullet-started, and makes symbol_ok fire on 1-line docs
+            # (every SF has one: min corpus doc is 10 tokens < _LINE_W)
+            lambda l, i: F.concat(
+                F.lit("- "),
+                F.when((i + 1) % 5 == 1, F.lit("# ")).otherwise(F.lit("")),
+                l,
+                F.when((i + 1) % 3 == 1, F.lit("...")).otherwise(F.lit(""))),
+        ).alias("lines"),
+    )
+    u = base.unionByName(dup).unionByName(deco)
+    txt = F.concat_ws("\n", "lines")
+    n_lines = F.size("lines")
+    n_bullet = F.size(F.filter("lines", lambda l: l.startswith("- ")))
+    n_ellipsis = F.size(F.filter("lines", lambda l: l.endswith("...")))
+    total_chars = F.length(F.concat_ws("", "lines"))
+    dup_chars = total_chars - F.length(
+        F.concat_ws("", F.array_distinct("lines")))
+    n_dup = n_lines - F.size(F.array_distinct("lines"))
+    n_words = F.size(F.split(F.trim(txt), r"\s+"))
+    n_symbols = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + F.floor(
+            (F.length(txt) - F.length(F.replace(txt, F.lit("..."),
+                                                F.lit("")))) / 3)
+    ).cast("bigint")
+    stats = u.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_bullet.cast("bigint").alias("n_bullet"),
+        n_ellipsis.cast("bigint").alias("n_ellipsis"),
+        n_dup.cast("bigint").alias("n_dup_lines"),
+        dup_chars.cast("bigint").alias("dup_chars"),
+        total_chars.cast("bigint").alias("total_chars"),
+        n_symbols.alias("n_symbols"),
+        n_words.cast("bigint").alias("n_words"),
+    )
+    flags = {
+        "symbol_ok": F.col("n_symbols") * 10 <= F.col("n_words"),
+        "bullet_ok": F.col("n_bullet") * 10 <= F.col("n_lines") * 9,
+        "ellipsis_ok": F.col("n_ellipsis") * 10 <= F.col("n_lines") * 3,
+        "dup_line_ok": F.col("n_dup_lines") * 10 <= F.col("n_lines") * 3,
+        "dup_char_ok": F.col("dup_chars") * 5 <= F.col("total_chars"),
+    }
+    passed = flags["symbol_ok"] & flags["bullet_ok"] & flags["ellipsis_ok"] \
+        & flags["dup_line_ok"] & flags["dup_char_ok"]
+    return stats.select(
+        "*",
+        *[v.alias(k) for k, v in flags.items()],
+        passed.alias("line_pass"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_FLAGS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, list_transform(
+      generate_series(1, CAST(ceil(len(ts) / {_LINE_W}.0) AS BIGINT)),
+      i -> array_to_string(
+          ts[(i-1)*{_LINE_W}+1:(i-1)*{_LINE_W}+{_LINE_W}], ' ')) AS lines
+  FROM toks
+),
+uni AS (
+  SELECT doc_id, lines FROM base
+  UNION ALL
+  SELECT doc_id + 200000,
+         list_concat([lines[1], lines[1], lines[1]], lines) FROM base
+  UNION ALL
+  SELECT doc_id + 400000,
+         list_transform(generate_series(1, len(lines)),
+             j -> '- ' || CASE WHEN j % 5 = 1 THEN '# ' ELSE '' END
+                  || lines[j] ||
+                  CASE WHEN j % 3 = 1 THEN '...' ELSE '' END) FROM base
+),
+s AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> l LIKE '- %')) AS n_bullet,
+         len(list_filter(lines, l -> l LIKE '%...')) AS n_ellipsis,
+         len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+         length(array_to_string(lines, ''))
+           - length(array_to_string(list_distinct(lines), '')) AS dup_chars,
+         length(array_to_string(lines, '')) AS total_chars,
+         array_to_string(lines, chr(10)) AS txt
+  FROM uni
+),
+f AS (
+  SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_dup_lines, dup_chars,
+         total_chars,
+         (length(txt) - length(replace(txt, '#', '')))
+           + (length(txt) - length(replace(txt, '...', ''))) // 3
+           AS n_symbols,
+         len(regexp_split_to_array(trim(txt), '\\s+')) AS n_words
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet AS BIGINT) AS n_bullet,
+       CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+       CAST(dup_chars AS BIGINT) AS dup_chars,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_symbols * 10 <= n_words) AS symbol_ok,
+       (n_bullet * 10 <= n_lines * 9) AS bullet_ok,
+       (n_ellipsis * 10 <= n_lines * 3) AS ellipsis_ok,
+       (n_dup_lines * 10 <= n_lines * 3) AS dup_line_ok,
+       (dup_chars * 5 <= total_chars) AS dup_char_ok,
+       (n_symbols * 10 <= n_words AND n_bullet * 10 <= n_lines * 9
+        AND n_ellipsis * 10 <= n_lines * 3
+        AND n_dup_lines * 10 <= n_lines * 3
+        AND dup_chars * 5 <= total_chars) AS line_pass
+FROM f ORDER BY doc_id
+"""
+
+
 _QUOTA_PER_SOURCE = 20
 _QUOTA_SALT = "quota-v1"
 
@@ -305,6 +514,7 @@ ORDER BY source, rn
 
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
+    "gopher_line_flags": q_gopher_line_flags,
     "repetition_flags": q_repetition_flags,
     "train_val_split": q_train_val_split,
     "source_quota_sample": q_source_quota_sample,
@@ -313,6 +523,7 @@ QUERIES = {
 
 ORACLES = {
     "gopher_quality_flags": ORACLE_GOPHER,
+    "gopher_line_flags": ORACLE_LINE_FLAGS,
     "repetition_flags": ORACLE_REPETITION,
     "train_val_split": ORACLE_SPLIT,
     "source_quota_sample": ORACLE_QUOTA,

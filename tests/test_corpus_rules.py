@@ -1,0 +1,61 @@
+"""Discrimination guards for the Gopher line-shape rules: a rule that can
+never fire (or never pass) on the demo corpus is vacuous evidence, so pin
+that every flag has BOTH outcomes at the smallest SF. DuckDB-only (the
+oracle is the cheaper engine and oracle_check proves Spark == oracle).
+"""
+
+import duckdb
+import pytest
+
+from martial_arts_ocr_spark.queries.corpus import (ORACLE_CONTAMINATION,
+                                                   ORACLE_LINE_FLAGS)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{SF}/documents.parquet')")
+    yield c
+    c.close()
+
+
+def test_every_line_flag_fires_both_ways(con):
+    df = con.execute(ORACLE_LINE_FLAGS).df()
+    for flag in ("symbol_ok", "bullet_ok", "ellipsis_ok",
+                 "dup_line_ok", "dup_char_ok", "line_pass"):
+        vals = set(df[flag])
+        assert vals == {True, False}, (flag, vals)
+
+
+def test_line_flag_variants_behave():
+    """The variant construction itself: base docs all pass, every decorated
+    doc fails the bullet rule (100% bullet lines), and the dup variant's
+    1-line docs fail both duplicate rules (3 of 4 lines are copies)."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    df = con.execute(ORACLE_LINE_FLAGS).df().set_index("doc_id")
+    base = df[df.index < 200000]
+    deco = df[df.index >= 400000]
+    dup = df[(df.index >= 200000) & (df.index < 400000)]
+    assert base["line_pass"].all()
+    assert (~deco["bullet_ok"]).all()
+    one_line_dups = dup[dup["n_lines"] == 4]
+    assert len(one_line_dups) > 0
+    assert (~one_line_dups["dup_line_ok"]).all()
+    assert (~one_line_dups["dup_char_ok"]).all()
+    con.close()
+
+
+def test_contamination_probes_flag_their_source_docs(con):
+    """Every probe's source document must be flagged (it contains the gram
+    the eval suite quoted from it) — the minimum a decontamination pass
+    must catch."""
+    df = con.execute(ORACLE_CONTAMINATION).df().set_index("doc_id")
+    from martial_arts_ocr_spark.queries.corpus import _BENCH_PROBES
+    for _, src_doc, _ in _BENCH_PROBES:
+        assert src_doc in df.index, src_doc
+        assert df.loc[src_doc, "n_benchmarks"] >= 1

@@ -101,12 +101,17 @@ def test_corpus_curation_plan_shapes(spark):
     join), decontamination broadcasts the benchmark gram set (never a
     sort-merge join), and quota sampling is one window over the
     source-partitioned shuffle."""
-    for name in ("gopher_quality_flags", "train_val_split"):
+    for name in ("gopher_quality_flags", "train_val_split",
+                 "gopher_line_flags"):
         plan = _plan(spark, name)
         assert plan.count("Exchange") <= 1, (name, plan[:800])
         assert "Join" not in plan, name
     contam = _plan(spark, "benchmark_contamination")
-    assert "BroadcastHashJoin" in contam
+    # the corpus side must reach the benchmark probe set via broadcast —
+    # and there are TWO broadcast joins now: probes×documents (builds the
+    # external benchmark gram view) and grams×bench (the decontamination
+    # semi-join shape itself)
+    assert contam.count("BroadcastHashJoin") >= 2, contam[:1200]
     assert "SortMergeJoin" not in contam
     quota = _plan(spark, "source_quota_sample")
     assert "row_number" in quota

@@ -34,4 +34,4 @@ def test_oracles_materialize_to_sql():
 def test_registry_size_frozen_for_round():
     # driver-gate hygiene (VERDICT r2 item 6): grow this ONLY before the
     # gate runs, never after
-    assert len(ALL_QUERIES) == 64
+    assert len(ALL_QUERIES) == 65
