@@ -98,8 +98,9 @@ def test_ivf_serving_cosine_margins(sf):
         kmeans_centroids_mirror,
     )
 
-    _, X = _embeddings(sf)
-    C = np.asarray(kmeans_centroids_mirror(X), dtype=np.float64)
+    ids, X = _embeddings(sf)
+    C = np.asarray(kmeans_centroids_mirror(X, vec_ids=list(ids)),
+                   dtype=np.float64)
     cos = (X @ C.T) / np.outer(np.linalg.norm(X, axis=1),
                                np.linalg.norm(C, axis=1))
     assert _boundary_dist(cos, 7).min() > _WOBBLE_MARGIN, sf
