@@ -23,9 +23,11 @@ def _rows(spark, root, table):
 def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
     root = str(tmp_path / "wh")
     pages = with_host(spark.createDataFrame(pages_pandas(120)))
-    # small batches → one file set per wave per bucket (many small files)
+    # files_per_bucket=3 → the write sub-salts each bucket into 3 files
+    # (the 100 TB knob; the sandbox default of 1 would give the compacted
+    # layout already and leave compaction nothing to prove)
     resume.run_checkpointed(spark, pages, root, run_id="c1",
-                            n_buckets=8, batch_size=2)
+                            n_buckets=8, batch_size=2, files_per_bucket=3)
     before_files = _n_files(root, resume.EXTRACTED_TABLE)
     before_rows = _rows(spark, root, resume.EXTRACTED_TABLE)
     assert before_files > 8          # more files than buckets
