@@ -2,17 +2,26 @@
 beyond dedup/sketching (similarity.py, neardup.py) and text stats
 (textops.py). All oracle-exact.
 
-* ``gopher_quality_flags`` — the public Gopher document-quality rule set
-  (Rae et al. 2021, §A1.1): word-count bounds, mean-word-length bounds,
-  alphabetic-word fraction, required-stopword hits. Pure column algebra;
-  at 100 TB this is a map-only filter fused into the scan.
+* ``gopher_quality_flags`` — the word-shape half of the public Gopher
+  document-quality rule set (Rae et al. 2021, §A1.1): word-count bounds,
+  mean-word-length bounds, alphabetic-word fraction, required-stopword
+  hits. Pure column algebra; at 100 TB this is a map-only filter fused
+  into the scan.
+* ``gopher_line_flags`` — the line-shape remainder of §A1.1:
+  symbol-to-word ratio, bullet-start and ellipsis-end line fractions,
+  duplicate-line and duplicate-line-character fractions. Map-only column
+  algebra over the line array (no explode, no shuffle).
+* ``repetition_flags`` — top 2-/3-gram repetition fractions (§A1.1's
+  other half), integer cross-multiplied thresholds.
 * ``train_val_split`` — deterministic content-hash split (md5-based, no
   RNG): every engine and every rerun assigns the same doc to the same
   split, the property that makes a split reproducible across a fleet.
+* ``source_quota_sample`` — per-domain quota sampling via md5-rank
+  window (domain balancing without rand()).
 * ``benchmark_contamination`` — decontamination: overlap of document
-  8-grams with a benchmark probe set, the step that keeps eval data out
-  of training corpora. Shuffle on the gram hash; semi-join shape (the
-  benchmark side is tiny → broadcast at scale).
+  8-grams with an EXTERNAL benchmark probe table, the step that keeps
+  eval data out of training corpora. The probe set stays tiny →
+  broadcast semi-join; the check is map-only over the corpus scan.
 """
 
 from __future__ import annotations
