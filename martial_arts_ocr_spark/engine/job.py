@@ -193,13 +193,19 @@ def run_extract(
 ) -> DataFrame:
     """pages DataFrame → extracted DataFrame (lazy; caller writes/collects).
 
-    ``pre_partitioned=True`` is the 100 TB fast path: the input table is
-    already hash-partitioned on url-host at ingest (Iceberg partition spec
-    ``bucket(host)``; emulated by the catalog's ``part_bucket=`` layout), so
-    the scan is co-located and the job runs with ZERO shuffles — scan →
-    mapInPandas → sink. Never re-shuffle 100 TB that storage already
-    partitioned. ``pre_partitioned=False`` performs the explicit salted
-    host-hash repartition for unpartitioned input.
+    ``pre_partitioned=True`` means THE CALLER OWNS THE PARTITIONING and no
+    shuffle is added here — the job runs scan → mapInPandas → sink. The
+    kernel is a pure per-row function, so ANY caller-chosen layout is
+    correct; the two layouts callers actually use are (a) the 100 TB fast
+    path, input already hash-partitioned on url-host at ingest (Iceberg
+    partition spec ``bucket(host)``; emulated by the catalog's
+    ``part_bucket=`` layout — never re-shuffle 100 TB that storage
+    already partitioned), and (b) the checkpointed runner's round-robin
+    wave spread (resume.py), where host co-location already holds at
+    bucket granularity and intra-wave balance wins. Nothing in this
+    module may assume per-partition host locality under
+    ``pre_partitioned=True``. ``pre_partitioned=False`` performs the
+    explicit salted host-hash repartition for unpartitioned input.
     """
     df = pages.select("url", "html", "lang")          # column pruning: no warc_ts/text
     df = df.filter(F.col("html").isNotNull() & (F.length("html") > 0))  # P1

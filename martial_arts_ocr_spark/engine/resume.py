@@ -121,7 +121,12 @@ def run_checkpointed(
     ``fail_after_waves`` injects a crash after N waves (for resume tests).
     ``files_per_bucket`` sizes the partitioned write: 1 (default) gives one
     well-sized file per bucket at sandbox scale; a 100 TB deployment sets
-    it to ≈ bucket_bytes / 128 MB so no single file grows unbounded.
+    it to ≈ bucket_bytes / 128 MB so no single file grows unbounded. The
+    bound is STATISTICAL, not exact — (bucket, salt) groups that collide
+    in the hash repartition merge into one ~2× file (low-cardinality
+    collisions, same mode as the kernel-stage gotcha); a deployment that
+    needs a hard per-file cap sets ``spark.sql.files.maxRecordsPerFile``
+    on top, which splits at write time without any salt column.
     """
     hot_hosts, n_buckets = _pin_run_config(root, run_id, hot_hosts, n_buckets)
     bucketed = _bucketed(pages, n_buckets, hot_hosts).persist()
@@ -154,6 +159,11 @@ def run_checkpointed(
         n_exec = spark.sparkContext.defaultParallelism
         subset = (
             bucketed.where(F.col("part_bucket").isin(wave))
+            # apply the P1 validity gate BEFORE the shuffle (run_extract
+            # re-applies it after, harmlessly): on a dirty corpus the
+            # null/empty-html rows would otherwise ride the round-robin
+            # exchange with their full html payload for nothing
+            .filter(F.col("html").isNotNull() & (F.length("html") > 0))
             .repartition(n_exec)
         )
         extracted = run_extract(

@@ -188,8 +188,12 @@ def q_benchmark_contamination(spark, sf_dir):
         )
     )
     bench.createOrReplaceTempView("benchmarks")
+    # the join reads THROUGH the registered view (not the builder frame)
+    # so the "external benchmarks table" is literal: any session-level
+    # replacement of the view swaps the probe set for the whole query
+    bench_view = spark.table("benchmarks")
     return (
-        grams.join(F.broadcast(bench), "gram_hash")
+        grams.join(F.broadcast(bench_view), "gram_hash")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gram_hash").alias("n_contaminated_grams"),
@@ -434,7 +438,8 @@ uni AS (
   SELECT doc_id, lines FROM base
   UNION ALL
   SELECT doc_id + 200000,
-         list_concat([lines[1], lines[1], lines[1]], lines) FROM base
+         list_concat([{", ".join(["lines[1]"] * _DUP_REPS)}], lines)
+  FROM base
   UNION ALL
   SELECT doc_id + 400000,
          list_transform(generate_series(1, len(lines)),

@@ -127,7 +127,22 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS
     return labels
 
 
+# The FINAL round's labels stay checkpointed while callers consume the
+# returned (lazy) DataFrame — they cannot be freed inside
+# connected_components. Track the last invocation's result per
+# application and free it when the next invocation starts (the
+# _SIG_CACHE eviction pattern), so a long session (gate + bench +
+# scaling in one process) holds at most ONE label-set of block-manager
+# storage instead of one per call (review finding, round 4).
+_LAST_LABELS: dict[str, DataFrame] = {}
+
+
 def q_dedup_clusters(spark, sf_dir):
+    app = spark.sparkContext.applicationId
+    prev = _LAST_LABELS.pop(app, None)
+    if prev is not None:
+        _free_local_checkpoint(prev)
+    _LAST_LABELS.clear()          # stopped-session entries
     pairs = q_minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -136,8 +151,10 @@ def q_dedup_clusters(spark, sf_dir):
                          F.col("doc_a").alias("dst"))
         )
     )
+    labels = connected_components(edges)
+    _LAST_LABELS[app] = labels
     return (
-        connected_components(edges)
+        labels
         .select(
             F.col("doc").cast("bigint").alias("doc_id"),
             F.col("lbl").cast("bigint").alias("cluster_id"),

@@ -238,14 +238,19 @@ def kmeans_init_pp(emb, k=_N_CENTROIDS):
     small jobs, plan size flat in k."""
     from .graph import _free_local_checkpoint
 
-    state = emb.select("vec_id", "embedding", _jitter_expr().alias("jit"))
-    first = state.orderBy("jit", "vec_id").select("embedding").head()
+    state0 = emb.select(
+        "vec_id", "embedding", _jitter_expr().alias("jit")
+    ).localCheckpoint()      # materialize scan+jitter ONCE: both the
+    # first-center argmin and the first distance pass read it (review
+    # fix: the unmaterialized expression re-scanned the embeddings)
+    first = state0.orderBy("jit", "vec_id").select("embedding").head()
     chosen = [[round(float(v), _CENT_ROUND) for v in first["embedding"]]]
     cvec = F.array(*[F.lit(float(v)) for v in chosen[0]])
-    state = state.select(
+    state = state0.select(
         "vec_id", "embedding", "jit",
         _d2_expr(F.col("embedding"), cvec).alias("best"),
     ).localCheckpoint()
+    _free_local_checkpoint(state0)
     for _ in range(k - 1):
         nxt = (
             state.select(
@@ -435,10 +440,7 @@ def q_ivf_ann_top5(spark, sf_dir):
     2/16 clusters on near-isotropic embeddings)."""
     emb = _emb(spark, sf_dir)
     learned = _learned_centroids(spark, sf_dir)
-    cents = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(learned)],
-        "cent_id int, cvec array<double>",
-    )
+    cents = _cents_df(spark, learned)
     scored = (
         emb.crossJoin(F.broadcast(cents))
         .select(

@@ -30,13 +30,10 @@ def test_every_line_flag_fires_both_ways(con):
         assert vals == {True, False}, (flag, vals)
 
 
-def test_line_flag_variants_behave():
+def test_line_flag_variants_behave(con):
     """The variant construction itself: base docs all pass, every decorated
     doc fails the bullet rule (100% bullet lines), and the dup variant's
     1-line docs fail both duplicate rules (3 of 4 lines are copies)."""
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{SF}/documents.parquet')")
     df = con.execute(ORACLE_LINE_FLAGS).df().set_index("doc_id")
     base = df[df.index < 200000]
     deco = df[df.index >= 400000]
@@ -47,7 +44,6 @@ def test_line_flag_variants_behave():
     assert len(one_line_dups) > 0
     assert (~one_line_dups["dup_line_ok"]).all()
     assert (~one_line_dups["dup_char_ok"]).all()
-    con.close()
 
 
 def test_contamination_probes_flag_their_source_docs(con):

@@ -35,3 +35,34 @@ def test_registry_size_frozen_for_round():
     # driver-gate hygiene (VERDICT r2 item 6): grow this ONLY before the
     # gate runs, never after
     assert len(ALL_QUERIES) == 65
+
+
+def test_gate_window_membership_pinned():
+    """The driver gate audits only the FIRST 50 registry entries (observed
+    cap, rounds 2-4). The rotation that put the long-unblessed queries
+    inside that window is insertion-order-fragile, so pin it: every query
+    that has never had (or only just got) a driver-green row must sit in
+    the first 50, and only long-blessed relational/textops entries (driver
+    -green since round 1-2, still covered by the full-registry
+    tests/oracle_check.py mirror every round) may sit past the window."""
+    names = list(ALL_QUERIES)
+    window = set(names[:50])
+    must_be_gated = {
+        "extract_macron_candidates", "run_metrics", "run_checkpoints",
+        "media_features", "audio_features", "video_features",
+        "events_asof_purchase", "doc_length_percentiles", "dedup_clusters",
+        "gopher_quality_flags", "gopher_line_flags", "repetition_flags",
+        "train_val_split", "source_quota_sample", "benchmark_contamination",
+    }
+    assert must_be_gated <= window, sorted(must_be_gated - window)
+    ungated = set(names[50:])
+    long_blessed = set(
+        "pricing_summary top_revenue_customers order_priority "
+        "region_balance top_parts_per_brand customers_with_orders "
+        "customers_without_orders custkeys_1996_not_1997 orders_rollup "
+        "events_hourly events_sessions pii_redact doc_stats_by_lang "
+        "exact_dup_groups dedup_survivors fingerprints quality_buckets "
+        "langid_heuristic tokens_by_source bpe_token_counts punct_ratio"
+        .split()
+    )
+    assert ungated <= long_blessed, sorted(ungated - long_blessed)
