@@ -79,6 +79,32 @@ def _bucket_dirs(root: str, table: str) -> list[str]:
     )
 
 
+def _recover_compaction(root: str, table: str) -> None:
+    """Roll a crashed compaction swap back or forward (idempotent).
+
+    For every ``_trash_<bucket>`` left by a crash: if the bucket dir
+    exists, the swap completed — drop the trash (roll forward); if not,
+    the crash hit between the two renames — restore the trash as the
+    bucket (roll back, old generation intact). Stale ``_compact_tmp_``
+    dirs are always safe to drop (their content is re-derivable).
+    """
+    import shutil
+
+    tdir = table_path(root, table)
+    if not os.path.isdir(tdir):
+        return
+    for name in os.listdir(tdir):
+        full = os.path.join(tdir, name)
+        if name.startswith("_compact_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("_trash_"):
+            bucket = os.path.join(tdir, name[len("_trash_"):])
+            if os.path.isdir(bucket):
+                shutil.rmtree(full)
+            else:
+                os.replace(full, bucket)
+
+
 def compact_table(spark: SparkSession, root: str, table: str,
                   target_files_per_bucket: int = 1) -> dict:
     """Small-file compaction — the Iceberg ``rewrite_data_files`` analogue.
@@ -91,41 +117,42 @@ def compact_table(spark: SparkSession, root: str, table: str,
     merge only), preserving rows exactly; a ``compact`` snapshot entry is
     appended.
 
-    Maintenance op, single writer. NOTE: the plain-parquet emulation swaps
-    files in place (write-new-then-delete-old), so a concurrent reader or
-    a crash mid-swap can transiently see duplicates — real Iceberg makes
-    this atomic with a metadata snapshot swap; this module is the labeled
-    thin stand-in (see module docstring).
+    Maintenance op, single writer. Crash safety is whole-DIRECTORY swaps
+    (each an atomic rename), not per-file moves (review-found: the old
+    write-new-then-delete-old file loop had a window where a crash left
+    PERMANENT duplicate rows that the next compaction baked in): per
+    bucket, the new files land in an ``_``-prefixed tmp dir (invisible to
+    Spark/Hive readers), then old-dir→``_trash_``, tmp→bucket, delete
+    trash. A crash at any point leaves either the old data, the new data,
+    or a trash/bucket state that ``_recover_compaction`` (run on entry)
+    rolls back or forward — never both generations visible at once. A
+    concurrent reader can transiently see an EMPTY bucket between the two
+    renames — real Iceberg makes the swap a metadata snapshot commit;
+    this module is the labeled thin stand-in (see module docstring).
     """
+    import shutil
+
     files_before = files_after = 0
     buckets_rewritten = 0
+    _recover_compaction(root, table)
     for bdir in _bucket_dirs(root, table):
         old = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         files_before += len(old)
         if len(old) <= target_files_per_bucket:
             files_after += len(old)
             continue
-        # leading underscore: Spark/Hive readers IGNORE _-prefixed paths,
-        # so a crash mid-compaction leaves an invisible tmp dir instead of
-        # a bogus 'part_bucket=k.compact_tmp' partition value that would
-        # corrupt partition discovery for every subsequent reader
-        tmp = os.path.join(os.path.dirname(bdir),
-                           "_compact_tmp_" + os.path.basename(bdir))
-        import shutil
-
+        parent, bname = os.path.dirname(bdir), os.path.basename(bdir)
+        tmp = os.path.join(parent, "_compact_tmp_" + bname)
+        trash = os.path.join(parent, "_trash_" + bname)
         shutil.rmtree(tmp, ignore_errors=True)
         (spark.read.parquet(bdir)
          .coalesce(target_files_per_bucket)
          .write.mode("overwrite").parquet(tmp))
-        new = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        # move new files in (unique names), then drop the old ones
-        for i, f in enumerate(new):
-            os.replace(os.path.join(tmp, f),
-                       os.path.join(bdir, f"compacted-{i:05d}-{f}"))
-        for f in old:
-            os.remove(os.path.join(bdir, f))
-        shutil.rmtree(tmp, ignore_errors=True)
-        files_after += len(new)
+        n_new = sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(bdir, trash)      # old generation out (atomic)
+        os.replace(tmp, bdir)        # new generation in (atomic)
+        shutil.rmtree(trash)         # point of no return: swap committed
+        files_after += n_new
         buckets_rewritten += 1
     meta = {
         "op": "compact",

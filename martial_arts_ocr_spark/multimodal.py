@@ -60,15 +60,23 @@ def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return header + bytes(rgb) * (width * height)
 
 
-def decode_ppm(content: bytes):
-    """Parse one binary PPM frame → (width, height, HxWx3 uint8 array,
-    bytes_consumed). Raises ValueError on malformed input."""
+def decode_ppm(content: bytes, start_at: int = 0):
+    """Parse one binary PPM frame beginning at ``start_at`` → (width,
+    height, HxWx3 uint8 array, bytes_consumed_from_start_at). Raises
+    ValueError on malformed input.
+
+    The offset parameter (review fix) lets frame iterators walk
+    concatenated-frame blobs WITHOUT per-frame ``content[pos:]`` slices —
+    the old slicing was O(L²/frame_size) byte copying, a DoS path through
+    the never-fail media UDF on blobs of many tiny frames. The pixel
+    array is a zero-copy view into ``content`` (``np.frombuffer`` with
+    offset/count)."""
     import numpy as np
 
-    if not content.startswith(_PPM_MAGIC):
+    if not content.startswith(_PPM_MAGIC, start_at):
         raise ValueError("not a P6 ppm")
     # header = magic, width, height, maxval — whitespace-separated tokens
-    pos, fields = 2, []
+    pos, fields = start_at + 2, []
     while len(fields) < 3:
         while pos < len(content) and content[pos:pos + 1].isspace():
             pos += 1
@@ -84,11 +92,11 @@ def decode_ppm(content: bytes):
     if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError("unsupported ppm")
     n = w * h * 3
-    raw = content[pos:pos + n]
-    if len(raw) < n:
+    if len(content) - pos < n:
         raise ValueError("truncated ppm")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    return w, h, arr, pos + n
+    arr = np.frombuffer(content, dtype=np.uint8, count=n,
+                        offset=pos).reshape(h, w, 3)
+    return w, h, arr, pos + n - start_at
 
 
 # --- real codec: WAV (RIFF/PCM-16) — pure stdlib + numpy --------------------------
@@ -142,6 +150,12 @@ def decode_wav(content: bytes):
                 # a zero-channel fmt chunk would divide-by-zero downstream
                 raise ValueError("zero channels")
         elif cid == b"data":
+            if len(chunk) < size:
+                # declared size exceeds available bytes: a truncated blob
+                # must flag the row, not pass half the samples off as a
+                # clean decode (review fix — the PPM codec already raised
+                # for the same defect)
+                raise ValueError("truncated data chunk")
             data = chunk
         pos += size + (size & 1)                      # chunks are word-aligned
     if sample_rate is None or data is None:
@@ -163,11 +177,14 @@ def resize_nearest(arr, out_w: int, out_h: int):
 
 def sample_frames(content: bytes, every_k: int = 2) -> list:
     """Frame-sample a 'video' = concatenated PPM frames: decode
-    sequentially, keep every k-th frame (real parsing, bounded work)."""
+    sequentially, keep every k-th frame. Linear in blob size: frames are
+    parsed in place via decode_ppm's offset parameter and the kept arrays
+    are zero-copy views into ``content`` (no per-frame slicing)."""
     frames, pos = [], 0
     idx = 0
-    while pos < len(content) and content[pos:pos + 2] == _PPM_MAGIC:
-        w, h, arr, consumed = decode_ppm(content[pos:])
+    n = len(content)
+    while pos < n and content.startswith(_PPM_MAGIC, pos):
+        _w, _h, arr, consumed = decode_ppm(content, pos)
         if idx % every_k == 0:
             frames.append(arr)
         pos += consumed
@@ -199,7 +216,12 @@ def decode_media(content: bytes, media_type: str,
 
     if not content:
         raise NotImplementedError("empty media content")
-    if content.startswith(_RIFF_MAGIC):
+    # each codec arm is gated on magic AND a compatible DECLARED type
+    # (review fix): a mislabeled blob (media_type='image' wearing RIFF
+    # bytes) previously got cross-modal features with decode_ok=True —
+    # exactly the mistaken-features confusion the flag exists to prevent.
+    # Mismatches fall through to the stub arm with decode_ok=False.
+    if content.startswith(_RIFF_MAGIC) and media_type == "audio":
         sr, ch, arr = decode_wav(content)
         x = arr.astype(np.float64) / 32768.0
         n = len(arr)
@@ -210,7 +232,7 @@ def decode_media(content: bytes, media_type: str,
                  float(np.abs(x).max()) if n else 0.0,
                  float(zc), 0.0]
         return {"decode_ok": True, "features": feats}
-    if content.startswith(_PPM_MAGIC):
+    if content.startswith(_PPM_MAGIC) and media_type in ("image", "video"):
         if media_type == "video":
             frames = sample_frames(content, every_k=1)
             arr, n_frames = frames[0], len(frames)
@@ -243,15 +265,24 @@ def media_feature_batch(iterator):
         for mid, mtype, content in zip(
             pdf["media_id"], pdf["media_type"], pdf["content"]
         ):
-            raw = bytes(content) if content is not None else b""
-            dg = hashlib.sha256(raw).digest() if raw else b""
+            # the try covers ROW ASSEMBLY too (review fix): a null
+            # media_id arriving as NaN made int(mid) raise OUTSIDE the old
+            # decode-only try, aborting the task — the exact failure the
+            # never-fail contract forbids
             try:
-                dec = decode_media(raw, mtype, digest=dg)
-                ok, feats = dec["decode_ok"], dec["features"]
+                raw = bytes(content) if content is not None else b""
+                dg = hashlib.sha256(raw).digest() if raw else b""
+                try:
+                    dec = decode_media(raw, mtype, digest=dg)
+                    ok, feats = dec["decode_ok"], dec["features"]
+                except Exception:
+                    ok, feats = False, None
+                row = (int(mid), str(mtype), len(raw),
+                       dg.hex() if dg else "", ok, feats)
             except Exception:
-                ok, feats = False, None
-            out.append((int(mid), mtype, len(raw), dg.hex() if dg else "",
-                        ok, feats))
+                row = (-1, str(mtype) if mtype is not None else "",
+                       0, "", False, None)
+            out.append(row)
         yield pd.DataFrame(
             out, columns=["media_id", "media_type", "n_bytes",
                           "content_hash", "decode_ok", "features"],

@@ -49,3 +49,38 @@ def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
                                         n_buckets=8, batch_size=2)
     assert processed == []
     assert _rows(spark, root, resume.EXTRACTED_TABLE) == before_rows
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The dir-swap protocol's two crash windows (review fix: the old
+    per-file swap left PERMANENT duplicates): (A) crash between the two
+    renames — bucket dir missing, trash present — must roll BACK; (B)
+    crash after the new generation landed — both present — must roll
+    FORWARD. Either way rows are exact, never duplicated."""
+    import shutil
+
+    root = str(tmp_path / "wh")
+    pages = with_host(spark.createDataFrame(pages_pandas(60)))
+    resume.run_checkpointed(spark, pages, root, run_id="cr",
+                            n_buckets=4, batch_size=2, files_per_bucket=2)
+    rows = _rows(spark, root, resume.EXTRACTED_TABLE)
+    tdir = catalog.table_path(root, resume.EXTRACTED_TABLE)
+    buckets = sorted(d for d in os.listdir(tdir)
+                     if d.startswith("part_bucket="))
+
+    # window A: old generation moved out, new never moved in
+    b0 = os.path.join(tdir, buckets[0])
+    os.replace(b0, os.path.join(tdir, "_trash_" + buckets[0]))
+    assert not os.path.isdir(b0)
+    catalog.compact_table(spark, root, resume.EXTRACTED_TABLE,
+                          target_files_per_bucket=1)
+    assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
+
+    # window B: new generation in place, old still in trash
+    b1 = os.path.join(tdir, buckets[1])
+    shutil.copytree(b1, os.path.join(tdir, "_trash_" + buckets[1]))
+    catalog.compact_table(spark, root, resume.EXTRACTED_TABLE,
+                          target_files_per_bucket=1)
+    assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
+    assert not any(d.startswith(("_trash_", "_compact_tmp_"))
+                   for d in os.listdir(tdir))

@@ -132,3 +132,74 @@ def test_wav_roundtrip_and_features():
         decode_wav(b"RIFFxxxxWAVE")          # missing fmt/data
     with pytest.raises(ValueError):
         decode_wav(blob[:20])                # truncated
+
+
+def test_truncated_wav_data_chunk_flags_row():
+    """A data chunk whose declared size exceeds the available bytes must
+    raise (review fix: it previously passed half the samples off as a
+    clean decode while the PPM codec raised for the same defect)."""
+    import numpy as np
+    import pytest
+
+    from martial_arts_ocr_spark.multimodal import (decode_media, decode_wav,
+                                                   encode_wav_pcm16)
+
+    wave = np.array([1000, -1000, 1000, -1000, 500], dtype="<i2")
+    blob = encode_wav_pcm16(16000, 1, wave.tobytes())[:-3]
+    with pytest.raises(ValueError):
+        decode_wav(blob)
+    with pytest.raises(ValueError):     # decode_media propagates; the
+        decode_media(blob, "audio")     # never-fail batch wrapper flags it
+
+
+def test_mislabeled_media_type_is_not_a_real_decode():
+    """A valid WAV declared as 'image' (and a valid PPM declared as
+    'audio') must take the stub arm with decode_ok=False — cross-modal
+    features with decode_ok=True defeat the flag's purpose (review fix)."""
+    import numpy as np
+
+    from martial_arts_ocr_spark.multimodal import (decode_media, encode_ppm,
+                                                   encode_wav_pcm16)
+
+    wav = encode_wav_pcm16(8000, 1, np.array([1, -1], dtype="<i2").tobytes())
+    ppm = encode_ppm(4, 4, (10, 20, 30))
+    assert decode_media(wav, "image")["decode_ok"] is False
+    assert decode_media(ppm, "audio")["decode_ok"] is False
+    # consistent declarations still decode for real
+    assert decode_media(wav, "audio")["decode_ok"] is True
+    assert decode_media(ppm, "image")["decode_ok"] is True
+    assert decode_media(ppm + ppm, "video")["decode_ok"] is True
+
+
+def test_frame_walk_is_linear_not_quadratic():
+    """10k minimal frames must sample in well under a second — the old
+    content[pos:] per-frame slice was O(L²/frame) memcpy, a DoS path
+    through the never-fail UDF (review fix)."""
+    import time
+
+    from martial_arts_ocr_spark.multimodal import encode_ppm, sample_frames
+
+    frame = encode_ppm(1, 1, (9, 9, 9))
+    blob = frame * 10_000
+    t0 = time.time()
+    frames = sample_frames(blob, every_k=2)
+    dt = time.time() - t0
+    assert len(frames) == 5_000
+    assert dt < 1.0, dt
+
+
+def test_null_media_id_flags_row_not_task(spark):
+    """A NULL media_id must produce a flagged (-1) row, not abort the
+    Spark task (review fix: int(mid) sat outside the never-fail try)."""
+    import pandas as pd
+
+    from martial_arts_ocr_spark.multimodal import media_feature_batch
+
+    pdf = pd.DataFrame({
+        "media_id": [1, None],
+        "media_type": ["image", "image"],
+        "content": [b"", None],
+    })
+    out = pd.concat(list(media_feature_batch(iter([pdf]))))
+    assert list(out["media_id"]) == [1, -1]
+    assert list(out["decode_ok"]) == [False, False]
