@@ -61,11 +61,22 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def time_query(fn, spark, sf_dir) -> float:
+    """Wall time to fully EXECUTE the query, noop sink.
+
+    Round-4 review fix: the old ``df.count()`` let Catalyst prune any
+    column no aggregate/filter consumed — for projection-only queries
+    (simhash, gopher_line_flags) the pandas UDF / column algebra never
+    ran and the Window of events_asof_purchase was optimized out
+    (verified empirically), so those bench entries measured little more
+    than the scan. The noop sink materializes every output column and
+    executes the final ORDER BY, without collect()'s driver transfer.
+    Numbers from round 4 on are therefore HIGHER for those queries than
+    earlier rounds — a measurement correction, not a regression
+    (BASELINE.md round-4 note)."""
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    n = df.count()          # forces full execution without driver collect
+    df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    assert n >= 0
     return round(dt, 3)
 
 
@@ -78,14 +89,16 @@ def extraction_throughput(master: str, n_pages: int, parts: int) -> dict:
     Salt buckets scale with parallelism so the hot host spreads across the
     whole cluster (SURVEY §4.3).
     """
-    from martial_arts_ocr_spark.engine.job import run_extract, with_host
+    from martial_arts_ocr_spark.engine.job import run_extract
     from martial_arts_ocr_spark.engine.session import build_session
     from martial_arts_ocr_spark.fixtures.gen_pages import pages_spark
 
     spark = build_session(master=master, shuffle_partitions=parts,
                           app_name=f"bench-extract-{master}")
     spark.sparkContext.setLogLevel("ERROR")
-    pages = with_host(pages_spark(spark, n_pages, partitions=parts))
+    # no with_host: run_extract derives host itself; the wrapper only
+    # persisted a dead extra column (review fix)
+    pages = pages_spark(spark, n_pages, partitions=parts)
     pages = pages.persist()
     pages.count()                       # materialize input outside the clock
     # full-size warmup: limit(n) would collapse to ONE partition and leave

@@ -37,12 +37,14 @@ _WORKER_SRC = r"""
 import sys, time, json
 sys.path.insert(0, {repo!r})
 from martial_arts_ocr_spark.engine.session import build_session
-from martial_arts_ocr_spark.engine.job import run_extract, with_host
+from martial_arts_ocr_spark.engine.job import run_extract
 
 spark = build_session(master={master!r}, shuffle_partitions={parts},
                       extra_conf={{"spark.executorEnv.PYTHONPATH": {repo!r}}})
 spark.sparkContext.setLogLevel("ERROR")
-pages = with_host(spark.read.parquet({pages!r}))
+# no with_host wrapper: run_extract prunes to url/html/lang and derives
+# host itself — the wrapper only added a dead column to the scan
+pages = spark.read.parquet({pages!r})
 n = pages.count()
 job = lambda: run_extract(pages, pre_partitioned=True).count()
 job()
@@ -71,10 +73,16 @@ def prepare_pages(pages_path: str, n_docs: int, n_files: int = 32) -> None:
     framework (0.655 vs 0.83 with uniform files). The zero-shuffle
     scan→mapInPandas plan is identical either way.
     """
-    if os.path.isdir(pages_path) and any(
-        f.endswith(".parquet") for f in os.listdir(pages_path)
+    # idempotency requires a COMMITTED write: _SUCCESS is only written at
+    # job commit, whereas stray part-*.parquet files survive a mid-write
+    # crash and would silently benchmark a truncated corpus (review fix)
+    if os.path.isdir(pages_path) and os.path.exists(
+        os.path.join(pages_path, "_SUCCESS")
     ):
         return
+    import shutil
+
+    shutil.rmtree(pages_path, ignore_errors=True)
     from ..fixtures.gen_pages import pages_spark
     from .session import build_session
 

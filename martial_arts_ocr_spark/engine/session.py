@@ -19,6 +19,14 @@ from pyspark.sql import SparkSession
 
 ARROW_BATCH_ROWS = 256
 
+# Captured at IMPORT time: under spark-submit the driver-side gateway env
+# is set before any user code runs, so this is True exactly when a
+# launcher (with its own --master/spark.master) owns the JVM. It must be
+# a module-level snapshot because pyspark's in-process launch_gateway
+# ALSO sets PYSPARK_GATEWAY_PORT once the first session is built — a
+# live check would misclassify every session built after the first one.
+_LAUNCHER_OWNS_MASTER = "PYSPARK_GATEWAY_PORT" in os.environ
+
 
 def build_session(
     app_name: str = "martial_arts_ocr_spark",
@@ -26,10 +34,22 @@ def build_session(
     shuffle_partitions: int = 32,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # only call .master() when one was explicitly chosen (arg or env).
+    # Under spark-submit the driver JVM already exists with the
+    # --master/spark.master the operator chose (_LAUNCHER_OWNS_MASTER),
+    # and the old unconditional builder.master("local[*]") silently
+    # overrode it — the cluster entry point would run local-mode on the
+    # driver machine with no error (review fix, round 4). Outside
+    # spark-submit there is no launcher master, so the local[*] default
+    # still applies.
+    master = master or os.environ.get("SPARK_MASTER")
+    if master is None and not _LAUNCHER_OWNS_MASTER:
+        master = "local[*]"
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -358,6 +358,13 @@ def q_gopher_line_flags(spark, sf_dir):
         lambda i: F.concat_ws(
             " ", F.slice("toks", (i - 1) * _LINE_W + 1, _LINE_W)),
     )
+    # Three variants as a 3-way UNION. The "obvious" single-scan
+    # optimization (explode an array of (doc_id, lines) structs so the
+    # tokenization runs once) measured SLOWER in an interleaved full-query
+    # A/B — best-of-5 1.654 s vs 1.291 s at sf0.1/local[32]: the struct-
+    # array generate breaks whole-stage codegen while the union of three
+    # codegen'd projections re-tokenizes cheaply. Reverted on evidence
+    # (same discipline that killed the r3 tuple-frame idea) — don't retry.
     base = d.select("doc_id", lines.alias("lines"))
     dup = base.select(
         (F.col("doc_id") + 200000).alias("doc_id"),

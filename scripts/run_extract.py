@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--hot-hosts-threshold", type=float, default=0.05)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if not (args.n_synthetic or args.pages):
+        # validate BEFORE the session build: a bad invocation should cost
+        # an argparse error, not 20 s of Spark startup (review fix)
+        ap.error("one of --pages / --n-synthetic is required")
 
     from martial_arts_ocr_spark.engine.job import (
         detect_hot_host_shares,
@@ -53,14 +57,15 @@ def main() -> int:
     if args.n_synthetic:
         # synthesized on executors (pages_spark is byte-identical to the
         # pandas generator — tests/test_fixtures_spark.py); never
-        # materialize fixture rows on the driver
+        # materialize fixture rows on the driver. Persist: hot-host
+        # detection + bucketing would otherwise run the generator UDF
+        # over the full corpus TWICE (review fix); parquet input rescans
+        # cheaply and stays unpersisted.
         from martial_arts_ocr_spark.fixtures.gen_pages import pages_spark
 
-        pages = pages_spark(spark, args.n_synthetic)
-    elif args.pages:
-        pages = spark.read.parquet(args.pages)
+        pages = pages_spark(spark, args.n_synthetic).persist()
     else:
-        ap.error("one of --pages / --n-synthetic is required")
+        pages = spark.read.parquet(args.pages)
 
     shares = detect_hot_host_shares(with_host(pages),
                                     threshold=args.hot_hosts_threshold,

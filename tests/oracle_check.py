@@ -46,6 +46,14 @@ def main(names=None):
     from __spark_entry__ import oracle_sql, queries
     from martial_arts_ocr_spark.engine.session import build_session
 
+    # fail fast on a mistyped name BEFORE the ~20 s session build
+    if names:
+        known = set(queries())
+        bad = sorted(set(names) - known)
+        if bad:
+            raise SystemExit(
+                f"unknown query name(s): {bad}; valid: {sorted(known)}")
+
     spark = build_session(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
