@@ -63,7 +63,13 @@ def read_metrics(spark: SparkSession, root: str) -> DataFrame:
     its buckets; determinism makes the duplicate byte-identical, so
     dropDuplicates on the key restores exact totals (self-review fix:
     summing the raw table double-counted re-run waves). All metrics
-    consumers must read through this helper."""
+    consumers must read through this helper. Returns an EMPTY frame (not
+    an AnalysisException) when no wave has committed metrics yet, so
+    progress checks on fresh or crashed-before-wave-0 warehouses report
+    zero rows instead of crashing (review fix — completed_buckets already
+    had the guard)."""
+    if not catalog.table_exists(root, METRICS_TABLE):
+        return spark.createDataFrame([], METRICS_SCHEMA)
     return (
         catalog.read_table(spark, root, METRICS_TABLE)
         .dropDuplicates(["run_id", "part_bucket"])
@@ -128,8 +134,43 @@ def run_checkpointed(
     needs a hard per-file cap sets ``spark.sql.files.maxRecordsPerFile``
     on top, which splits at write time without any salt column.
     """
+    # one corpus snapshot per warehouse root: the extracted table's
+    # bucket dirs are replaced wholesale per wave, so a SECOND run_id
+    # over the same root would silently delete the first run's data for
+    # every overlapping bucket while the first run's checkpoints still
+    # claim it (review-found). Resume of the SAME run_id is the designed
+    # multi-invocation path; a new snapshot gets a new --warehouse.
+    if catalog.table_exists(root, CHECKPOINT_TABLE):
+        others = {
+            r.run_id for r in
+            catalog.read_table(spark, root, CHECKPOINT_TABLE)
+            .select("run_id").distinct().collect()
+        } - {run_id}
+        if others:
+            raise ValueError(
+                f"warehouse root {root!r} already holds extracted data "
+                f"for run_id(s) {sorted(others)}; use the same --run-id "
+                f"to resume or a fresh --warehouse for a new snapshot")
+    # stale _tmp_wave_* dirs from a hard crash are re-derivable
+    # (uncommitted by construction) but wave numbering restarts on
+    # resume, so nothing would ever reclaim them — sweep at entry
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("_tmp_wave_"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
     hot_hosts, n_buckets = _pin_run_config(root, run_id, hot_hosts, n_buckets)
     bucketed = _bucketed(pages, n_buckets, hot_hosts).persist()
+    try:
+        return _run_waves(spark, bucketed, root, run_id, n_buckets,
+                          batch_size, hot_hosts, fail_after_waves,
+                          files_per_bucket)
+    finally:
+        bucketed.unpersist()
+
+
+def _run_waves(spark, bucketed, root, run_id, n_buckets, batch_size,
+               hot_hosts, fail_after_waves, files_per_bucket) -> list[int]:
     present = sorted(
         r.part_bucket
         for r in bucketed.select("part_bucket").distinct().collect()
@@ -143,7 +184,6 @@ def run_checkpointed(
     ext_path = catalog.table_path(root, EXTRACTED_TABLE)
     for wave_no, wave in enumerate(waves):
         if fail_after_waves is not None and wave_no >= fail_after_waves:
-            bucketed.unpersist()
             raise RuntimeError(f"injected failure before wave {wave_no}")
         # Kernel parallelism is DECOUPLED from checkpoint-wave width
         # (round-4 fix: num_partitions=len(wave) ran the kernel on
@@ -166,8 +206,11 @@ def run_checkpointed(
             .filter(F.col("html").isNotNull() & (F.length("html") > 0))
             .repartition(n_exec)
         )
+        # NOTE: no 'host' column is passed through — run_extract prunes to
+        # url/html/lang and re-derives host itself (same HOST_RE), so
+        # forwarding the bucketing-time host would only fake a coupling
         extracted = run_extract(
-            subset.select("url", "html", "lang", "host"),
+            subset.select("url", "html", "lang"),
             pre_partitioned=True,
         )
         # re-attach bucket id for partitioned write + metrics (same key
@@ -192,6 +235,17 @@ def run_checkpointed(
         #    required partition-column ordering is already satisfied and
         #    does not re-sort away the (host, url) clustering.
         tmp_dir = os.path.join(root, f"_tmp_wave_{run_id}_{wave_no}")
+        try:
+            _commit_wave(spark, extracted, root, run_id, wave, wave_no,
+                         tmp_dir, ext_path, files_per_bucket)
+        finally:
+            extracted.unpersist()
+        processed.extend(wave)
+    return processed
+
+
+def _commit_wave(spark, extracted, root, run_id, wave, wave_no, tmp_dir,
+                 ext_path, files_per_bucket) -> None:
         (extracted.repartition(
             max(len(wave), 1) * files_per_bucket, F.col("part_bucket"),
             F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)))
@@ -242,7 +296,3 @@ def run_checkpointed(
         )
         (ckpt.write.mode("append")
          .parquet(catalog.table_path(root, CHECKPOINT_TABLE)))
-        extracted.unpersist()
-        processed.extend(wave)
-    bucketed.unpersist()
-    return processed

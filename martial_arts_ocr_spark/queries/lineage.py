@@ -148,5 +148,8 @@ QUERIES = {
 
 ORACLES = {
     "run_metrics": ORACLE_RUN_METRICS,
-    "run_checkpoints": _checkpoints_oracle(),
+    # registered UNCALLED: materialized_oracles() resolves it on the
+    # driver — executors import this package for the pandas UDFs and must
+    # not pay (or depend on) import-time SQL baking (CLAUDE.md rule)
+    "run_checkpoints": _checkpoints_oracle,
 }

@@ -112,3 +112,47 @@ def test_metrics_dedup_after_partial_wave_crash(spark, tmp_path):
                   .agg(F.sum("n_docs").alias("s")).head()["s"])
     assert dedup_docs == 40
     assert raw_docs > 40                   # the raw table IS duplicated
+
+
+def test_second_run_id_over_same_root_refused(spark, pages, tmp_path):
+    """A different run_id over the same warehouse would silently replace
+    the first run's bucket data while its checkpoints still claim it
+    (review-found) — run_checkpointed must refuse, and the same run_id
+    must still resume as a no-op."""
+    from martial_arts_ocr_spark.engine.job import with_host
+
+    root = str(tmp_path / "wh")
+    p = with_host(pages)
+    run_checkpointed(spark, p, root, run_id="r1", n_buckets=4, batch_size=2)
+    with pytest.raises(ValueError, match="already holds"):
+        run_checkpointed(spark, p, root, run_id="r2",
+                         n_buckets=4, batch_size=2)
+    assert run_checkpointed(spark, p, root, run_id="r1",
+                            n_buckets=4, batch_size=2) == []
+
+
+def test_stale_tmp_wave_dirs_swept_on_entry(spark, pages, tmp_path):
+    """An orphaned _tmp_wave_* dir from a hard crash must be reclaimed by
+    the next invocation (wave numbering restarts on resume, so nothing
+    else would ever delete it — review-found disk leak)."""
+    import os
+
+    from martial_arts_ocr_spark.engine.job import with_host
+
+    root = str(tmp_path / "wh")
+    stale = os.path.join(root, "_tmp_wave_r1_7")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "wb") as f:
+        f.write(b"x")
+    run_checkpointed(spark, with_host(pages), root, run_id="r1",
+                     n_buckets=4, batch_size=2)
+    assert not os.path.isdir(stale)
+    assert not any(d.startswith("_tmp_wave_") for d in os.listdir(root))
+
+
+def test_read_metrics_empty_warehouse(spark, tmp_path):
+    """Progress checks on a fresh/crashed-before-wave-0 warehouse must see
+    zero rows, not an AnalysisException (review-found)."""
+    from martial_arts_ocr_spark.engine.resume import read_metrics
+
+    assert read_metrics(spark, str(tmp_path / "nowhere")).count() == 0
