@@ -128,6 +128,17 @@ def proportional_salt_buckets(
     }
 
 
+def kernel_rows(pdf):
+    """THE per-row kernel call contract for a P1-gated pandas batch:
+    yields ``(url, extract_document(url, html, lang or ""))`` in row
+    order. Shared by the batch path (``extract_batch``) and the streaming
+    path (``streaming.extract_stream``) so the call signature and
+    lang-coalescing cannot silently diverge between them (review-found
+    duplication)."""
+    for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+        yield url, extract_document(url, html, lang or "")
+
+
 def extract_batch(iterator):
     """mapInPandas worker: Arrow batch in → extracted batch out.
 
@@ -136,10 +147,7 @@ def extract_batch(iterator):
     """
     for pdf in iterator:
         out = []
-        for url, host, html, lang in zip(
-            pdf["url"], pdf["host"], pdf["html"], pdf["lang"]
-        ):
-            row = extract_document(url, html, lang or "")
+        for (url, row), host in zip(kernel_rows(pdf), pdf["host"]):
             row["host"] = host
             s = row.pop("stats")
             row["stats"] = (

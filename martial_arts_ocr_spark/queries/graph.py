@@ -187,5 +187,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "dedup_clusters": _clusters_oracle(),
+    # callable: resolved on the driver by materialized_oracles(), never at
+    # import (the composed verified-pairs oracle is ~100 KB of baked SQL)
+    "dedup_clusters": _clusters_oracle,
 }

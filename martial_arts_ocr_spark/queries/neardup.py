@@ -106,9 +106,6 @@ ORDER BY vec_a, vec_b
 """
 
 
-ORACLE_COSINE_PAIRS = _oracle_cosine_pairs()
-
-
 # --- token-set Jaccard near-dup pairs -------------------------------------------
 
 def q_jaccard_neardup_pairs(spark, sf_dir):
@@ -142,7 +139,6 @@ ORDER BY doc_a, doc_b
 """
 
 
-ORACLE_JACCARD_PAIRS = _oracle_jaccard_pairs()
 
 
 # --- IVF ANN with a learned (Lloyd k-means) coarse quantizer ---------------------
@@ -619,8 +615,9 @@ QUERIES = {
 
 ORACLES = {
     "repeated_spans": ORACLE_REPEATED_SPANS,
-    "cosine_neardup_pairs": ORACLE_COSINE_PAIRS,
-    "jaccard_neardup_pairs": ORACLE_JACCARD_PAIRS,
+    "cosine_neardup_pairs": _oracle_cosine_pairs,
+    # callable: driver-resolved, composed verified-pairs SQL is large
+    "jaccard_neardup_pairs": _oracle_jaccard_pairs,
     # callable: baked centroid literals resolved lazily by oracle_sql()
     "ivf_ann_top5": _oracle_ivf,
 }

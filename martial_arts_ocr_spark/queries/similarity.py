@@ -43,12 +43,19 @@ def q_ann_cosine_top10(spark, sf_dir):
     top-k (which AQE executes as a partial+final TakeOrdered).
     """
     emb = _emb(spark, sf_dir)
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    if qrow is None:
-        raise ValueError(
-            "embeddings table has no vec_id 0 (fixed ANN query vector)"
-        )
-    qvec = list(qrow["embedding"])
+    # memoized per (session, sf): the eager head() is a full-scan Spark
+    # job that otherwise re-runs on EVERY invocation (gate × 3 SFs, every
+    # bench repetition) before the real query starts (review-found)
+    key = (spark.sparkContext.applicationId, sf_dir, "ann_qvec")
+    qvec = _SIG_CACHE.get(key)
+    if qvec is None:
+        qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+        if qrow is None:
+            raise ValueError(
+                "embeddings table has no vec_id 0 (fixed ANN query vector)"
+            )
+        qvec = list(qrow["embedding"])
+        _sig_cache_put(spark, key, qvec)
     q = F.array(*[F.lit(float(x)) for x in qvec])
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), q, lambda a, b: a.cast("double") * b),
@@ -749,13 +756,17 @@ ORDER BY doc_a, doc_b
 ORACLES = {
     "ann_cosine_top10": ORACLE_ANN,
     "embedding_norms": ORACLE_NORMS,
+    # builder CALLABLES, resolved by materialized_oracles() on the driver
+    # (CLAUDE.md rule): executors import this module for the pandas UDFs
+    # and must not build hyperplane matrices / ~100 KB of oracle SQL at
+    # import time (review fix — these four were called here).
     # hyperplane matrix baked into the SQL as literals (fixed seed)
-    "lsh_bucket_candidates": _lsh_oracle_sql(),
+    "lsh_bucket_candidates": _lsh_oracle_sql,
     # md5-based sketches: DuckDB md5_number_upper == the UDFs'
     # _stable_hash64, so even these are oracle-EXACT (wrapping int64
     # arithmetic emulated in HUGEINT)
     "simhash": ORACLE_SIMHASH,
-    "simhash_neardup_pairs": _simhash_neardup_oracle(),
-    "minhash_bands": _minhash_bands_oracle(),
-    "minhash_verified_pairs": _minhash_verified_pairs_oracle(),
+    "simhash_neardup_pairs": _simhash_neardup_oracle,
+    "minhash_bands": _minhash_bands_oracle,
+    "minhash_verified_pairs": _minhash_verified_pairs_oracle,
 }

@@ -46,15 +46,16 @@ def extract_stream(pages: DataFrame) -> DataFrame:
              "lang_detected string, quality string, n_blocks int, text_len int"
 
     def batch(it):
-        from .kernel.pipeline import extract_document
+        # kernel_rows IS the batch path's per-row call contract (same
+        # gate upstream, same lang coalescing) — any change to it
+        # propagates to both paths (review fix: the loop was duplicated)
+        from .engine.job import kernel_rows
 
         for pdf in it:
             rows = []
-            for url, ts, host, html, lang in zip(
-                pdf["url"], pdf["warc_ts"], pdf["host"], pdf["html"],
-                pdf["lang"],
+            for (url, r), ts, host in zip(
+                kernel_rows(pdf), pdf["warc_ts"], pdf["host"],
             ):
-                r = extract_document(url, html, lang or "")
                 rows.append((url, ts, host, r["status"], r["lang_detected"],
                              r["quality"], r["n_blocks"], len(r["text"])))
             yield pd.DataFrame(rows, columns=[
@@ -67,14 +68,23 @@ def extract_stream(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_running_totals(extracted: DataFrame) -> DataFrame:
+def host_running_totals(extracted: DataFrame,
+                        idle_ttl_ms: int = 30 * 60 * 1000) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-host totals (docs, chars, failures) maintained across micro-batches
     — the streaming analogue of the per-partition metrics table (A12).
 
     State = (n_docs, n_chars, n_failed) per host; each micro-batch emits
     the updated running totals for hosts it touched.
-    """
+
+    State is EVICTED after ``idle_ttl_ms`` without new rows for a host
+    (processing-time timeout) — a web-scale host set is effectively
+    unbounded, and NoTimeout state grows monotonically until the state
+    store/checkpoint exhausts memory (review-found). The trade: a host
+    that goes idle past the TTL restarts its running total from zero; the
+    in-flight state is a live counter cache, while the durable record is
+    whatever sink consumes the emitted rows (exactly the batch metrics
+    table's role on the batch path)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -82,6 +92,9 @@ def host_running_totals(extracted: DataFrame) -> DataFrame:
     state_schema = "n_docs long, n_chars long, n_failed long"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()                  # idle-host eviction, no output
+            return
         docs = chars = failed = 0
         for pdf in pdfs:
             docs += len(pdf)
@@ -93,6 +106,7 @@ def host_running_totals(extracted: DataFrame) -> DataFrame:
             chars += p_chars
             failed += p_failed
         state.update((docs, chars, failed))
+        state.setTimeoutDuration(idle_ttl_ms)
         yield pd.DataFrame({
             "host": [key[0]], "n_docs": [docs], "n_chars": [chars],
             "n_failed": [failed],
@@ -102,7 +116,7 @@ def host_running_totals(extracted: DataFrame) -> DataFrame:
         extracted.groupBy("host")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

@@ -55,3 +55,18 @@ def test_contamination_probes_flag_their_source_docs(con):
     for _, src_doc, _ in _BENCH_PROBES:
         assert src_doc in df.index, src_doc
         assert df.loc[src_doc, "n_benchmarks"] >= 1
+
+
+def test_variant_offsets_cannot_collide():
+    """simhash_neardup_pairs perturbs doc_id by +100000 and
+    gopher_line_flags derives variants at +200000/+400000; a corpus whose
+    real doc_ids reach the smallest offset would silently mix perturbed
+    and real documents (review-found). Pin the precondition at every
+    driver SF so growth past the offsets fails loudly here, not silently
+    in a green-looking oracle."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = duckdb.connect().execute(
+            f"SELECT max(doc_id) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert mx < 100000, (sf, mx)
