@@ -58,6 +58,17 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # pin the conf event-time NTZ reads silently rest on (round-4
+        # review): parquet timestamp[us] isAdjustedToUTC=false must read
+        # as TIMESTAMP_NTZ (the inferTimestampNTZ DEFAULT, but a default
+        # is not a contract). The session TIMEZONE is deliberately NOT
+        # pinned: the oracle engine (DuckDB, driver-owned) always follows
+        # the host TZ and cannot be configured from here, so both engines
+        # following the host TZ is the equilibrium that stays exact under
+        # ANY host TZ — pinning Spark alone to UTC was tried and broke
+        # events_hourly (LTZ date_trunc) under TZ=America/New_York; the
+        # TZ-robustness gate run pins the equilibrium each round.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

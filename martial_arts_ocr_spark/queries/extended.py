@@ -265,6 +265,13 @@ ORDER BY event_type, rnk, user_id
 # --- CASE bucketing (A5 staircase shape over part sizes) ---------------------------
 
 def q_part_size_buckets(spark, sf_dir):
+    """CASE bucketing with an INTEGER-exact price aggregate: prices are
+    cent-exact, so the emitted total is round(sum·100) cents — summation-
+    order wobble (~1e-7) can never flip it, unlike the previous
+    round(avg, 2) whose uncontrolled denominator was measured 7.8e-4 from
+    a confirmed Spark-vs-DuckDB rounding-tie divergence (round-4 review;
+    the CLAUDE.md round-2 rule: invert uncontrolled ratios to integers).
+    Consumers derive avg as sum_price_cents / n / 100."""
     part = _t(spark, sf_dir, "part")
     bucket = (
         F.when(F.col("p_size") < 10, "small")
@@ -274,7 +281,8 @@ def q_part_size_buckets(spark, sf_dir):
     return (
         part.groupBy(bucket.alias("size_bucket"))
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+             F.round(F.sum(F.col("p_retailprice") * 100), 0)
+             .cast("bigint").alias("sum_price_cents"))
         .orderBy("size_bucket")
     )
 
@@ -284,7 +292,7 @@ SELECT CASE WHEN p_size < 10 THEN 'small'
             WHEN p_size < 30 THEN 'medium'
             ELSE 'large' END AS size_bucket,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(avg(p_retailprice) AS DOUBLE), 2) AS avg_price
+       CAST(round(sum(p_retailprice * 100), 0) AS BIGINT) AS sum_price_cents
 FROM part GROUP BY 1 ORDER BY 1
 """
 

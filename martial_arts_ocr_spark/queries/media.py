@@ -20,22 +20,32 @@ from pyspark.sql import functions as F
 from ..multimodal import decode_media, encode_ppm
 
 
-def _media_from_documents(spark, sf_dir: str):
+def _synth_media(spark, sf_dir: str, make_content):
+    """Shared synthesis scaffold for the three media modalities: documents
+    scan -> doc_id -> repartition(8, doc_id) -> mapInPandas emitting
+    (media_id, content) with content = make_content(doc_id). One copy of
+    the plumbing (partitioning, schema, batch loop) so a layout change
+    cannot be applied to one modality and silently missed on another
+    (round-4 review: this existed as three diverging copies)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(iterator):
         for pdf in iterator:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 16 + did % 16, 8 + did % 8
-                rgb = ((did * 7) % 256, (did * 13) % 256, (did * 29) % 256)
-                rows.append((did, encode_ppm(w, h, rgb)))
+            rows = [(int(did), make_content(int(did))) for did in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     return d.repartition(8, "doc_id").mapInPandas(
         gen, "media_id long, content binary"
     )
+
+
+def _media_from_documents(spark, sf_dir: str):
+    def image(did):
+        w, h = 16 + did % 16, 8 + did % 8
+        rgb = ((did * 7) % 256, (did * 13) % 256, (did * 29) % 256)
+        return encode_ppm(w, h, rgb)
+
+    return _synth_media(spark, sf_dir, image)
 
 
 def q_media_features(spark, sf_dir):
@@ -84,25 +94,16 @@ def _wav_from_documents(spark, sf_dir: str):
 
     from ..multimodal import encode_wav_pcm16
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    def wav(did):
+        sr = 8000 * (1 + did % 3)
+        n = 64 + did % 64
+        a = 500 + (did * 37) % 30000
+        wave = np.empty(n, dtype="<i2")
+        wave[0::2] = a
+        wave[1::2] = -a
+        return encode_wav_pcm16(sr, 1, wave.tobytes())
 
-    def gen(iterator):
-        for pdf in iterator:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                sr = 8000 * (1 + did % 3)
-                n = 64 + did % 64
-                a = 500 + (did * 37) % 30000
-                wave = np.empty(n, dtype="<i2")
-                wave[0::2] = a
-                wave[1::2] = -a
-                rows.append((did, encode_wav_pcm16(sr, 1, wave.tobytes())))
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    return d.repartition(8, "doc_id").mapInPandas(
-        gen, "media_id long, content binary"
-    )
+    return _synth_media(spark, sf_dir, wav)
 
 
 def q_audio_features(spark, sf_dir):
@@ -150,23 +151,13 @@ def _video_from_documents(spark, sf_dir: str):
     """Per doc_id: (1 + doc_id % 4) solid-color PPM frames concatenated —
     frame k's red channel is (doc_id * 11 + k) % 256, so frame count and
     first-frame means are doc_id arithmetic."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    def video(did):
+        return b"".join(
+            encode_ppm(8, 4, ((did * 11 + k) % 256, 10, 20))
+            for k in range(1 + did % 4)
+        )
 
-    def gen(iterator):
-        for pdf in iterator:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                frames = b"".join(
-                    encode_ppm(8, 4, ((did * 11 + k) % 256, 10, 20))
-                    for k in range(1 + did % 4)
-                )
-                rows.append((did, frames))
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
-
-    return d.repartition(8, "doc_id").mapInPandas(
-        gen, "media_id long, content binary"
-    )
+    return _synth_media(spark, sf_dir, video)
 
 
 def q_video_features(spark, sf_dir):

@@ -43,7 +43,11 @@ def test_driver_corpus_oracle_preconditions():
         assert n_empty == 0, (sf, n_empty)
         # printable-ASCII only: the sketch UDFs tokenize with Python
         # str.split() (Unicode whitespace) while the oracles use RE2 \s
-        # (ASCII) — equivalent ONLY on this corpus class (review-found)
+        # (ASCII) — equivalent ONLY on this corpus class (review-found).
+        # This range check (0x20-0x7E) also excludes \x0B vertical tab,
+        # which Java \s matches but RE2 \s does NOT — the one character
+        # that would silently split whitespace_normalize/doc_trigram_head
+        # between Spark and DuckDB (round-4 review)
         n_nonascii = con.execute(
             f"""SELECT sum(CASE WHEN regexp_matches(text, '[^ -~]')
                               THEN 1 ELSE 0 END)
