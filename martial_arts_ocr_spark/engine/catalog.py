@@ -56,6 +56,13 @@ def table_path(root: str, table: str) -> str:
 
 
 def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+    # A compaction crash between its two renames leaves a bucket parked at
+    # _trash_<bucket> — without recovery the bucket is INVISIBLE to every
+    # reader until the next compact_table call (round-4 ADVICE: persistent
+    # data invisibility is worse than the transient empty-bucket window).
+    # Recovery is idempotent and one listdir when there is nothing to do,
+    # so the read path always rolls a crashed swap back/forward first.
+    _recover_compaction(root, table)
     return spark.read.parquet(table_path(root, table))
 
 

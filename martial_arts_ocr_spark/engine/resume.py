@@ -140,16 +140,23 @@ def run_checkpointed(
     # every overlapping bucket while the first run's checkpoints still
     # claim it (review-found). Resume of the SAME run_id is the designed
     # multi-invocation path; a new snapshot gets a new --warehouse.
-    if catalog.table_exists(root, CHECKPOINT_TABLE):
-        others = {
-            r.run_id for r in
-            catalog.read_table(spark, root, CHECKPOINT_TABLE)
-            .select("run_id").distinct().collect()
-        } - {run_id}
+    # The guard scans the _run_<id>.json config pins, NOT the checkpoints
+    # table: a run that crashed after renaming wave data into extracted/
+    # but before its first checkpoint write leaves zero checkpoint rows,
+    # and a second run_id would then silently mix the crashed run's
+    # leftover bucket dirs into its snapshot (round-4 ADVICE). The pin is
+    # written by _pin_run_config at entry, BEFORE any wave, so it exists
+    # for every run that could possibly have touched the warehouse.
+    if os.path.isdir(root):
+        others = sorted(
+            n[len("_run_"):-len(".json")] for n in os.listdir(root)
+            if n.startswith("_run_") and n.endswith(".json")
+            and n != f"_run_{run_id}.json"
+        )
         if others:
             raise ValueError(
                 f"warehouse root {root!r} already holds extracted data "
-                f"for run_id(s) {sorted(others)}; use the same --run-id "
+                f"for run_id(s) {others}; use the same --run-id "
                 f"to resume or a fresh --warehouse for a new snapshot")
     # stale _tmp_wave_* dirs from a hard crash are re-derivable
     # (uncommitted by construction) but wave numbering restarts on

@@ -35,7 +35,7 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 FEATURE_SCHEMA = T.StructType([
-    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_id", T.LongType(), True),   # null = id unparseable
     T.StructField("media_type", T.StringType(), False),
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("content_hash", T.StringType(), False),
@@ -280,7 +280,12 @@ def media_feature_batch(iterator):
                 row = (int(mid), str(mtype), len(raw),
                        dg.hex() if dg else "", ok, feats)
             except Exception:
-                row = (-1, str(mtype) if mtype is not None else "",
+                # NULL media_id, not a shared -1 sentinel: multiple bad
+                # rows collapsing onto one key would conflate unrelated
+                # flagged rows under any downstream groupBy/join/dedup on
+                # media_id (round-4 ADVICE); nulls drop out of equi-joins
+                # and are an explicit "id unknown" for group-bys to filter
+                row = (None, str(mtype) if mtype is not None else "",
                        0, "", False, None)
             out.append(row)
         yield pd.DataFrame(

@@ -84,3 +84,24 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
     assert not any(d.startswith(("_trash_", "_compact_tmp_"))
                    for d in os.listdir(tdir))
+
+
+def test_read_path_recovers_crashed_swap(spark, tmp_path):
+    """Round-4 ADVICE: a crash in window A (bucket renamed to _trash_,
+    new generation never moved in) used to leave the bucket INVISIBLE to
+    every reader until someone happened to call compact_table again —
+    persistent data loss from the reader's point of view. read_table now
+    runs the idempotent recovery itself, so a plain read after the crash
+    sees every row with no compaction call in between."""
+    root = str(tmp_path / "wh")
+    pages = with_host(spark.createDataFrame(pages_pandas(60)))
+    resume.run_checkpointed(spark, pages, root, run_id="rr",
+                            n_buckets=4, batch_size=2)
+    rows = _rows(spark, root, resume.EXTRACTED_TABLE)
+    tdir = catalog.table_path(root, resume.EXTRACTED_TABLE)
+    buckets = sorted(d for d in os.listdir(tdir)
+                     if d.startswith("part_bucket="))
+    b0 = os.path.join(tdir, buckets[0])
+    os.replace(b0, os.path.join(tdir, "_trash_" + buckets[0]))
+    assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
+    assert os.path.isdir(b0)        # rolled back in place by the read

@@ -189,17 +189,27 @@ def test_frame_walk_is_linear_not_quadratic():
 
 
 def test_null_media_id_flags_row_not_task(spark):
-    """A NULL media_id must produce a flagged (-1) row, not abort the
-    Spark task (review fix: int(mid) sat outside the never-fail try)."""
+    """A NULL media_id must produce a flagged NULL-id row, not abort the
+    Spark task (review fix: int(mid) sat outside the never-fail try).
+    Round-4 ADVICE: the flagged id is NULL, not a shared -1 sentinel —
+    two unrelated bad rows must not collapse onto one key under any
+    downstream groupBy/join/dedup on media_id."""
     import pandas as pd
 
     from martial_arts_ocr_spark.multimodal import media_feature_batch
 
     pdf = pd.DataFrame({
-        "media_id": [1, None],
-        "media_type": ["image", "image"],
-        "content": [b"", None],
+        "media_id": [1, None, None],
+        "media_type": ["image", "image", "audio"],
+        "content": [b"", None, b"xx"],
     })
     out = pd.concat(list(media_feature_batch(iter([pdf]))))
-    assert list(out["media_id"]) == [1, -1]
-    assert list(out["decode_ok"]) == [False, False]
+    ids = list(out["media_id"])
+    assert ids[0] == 1 and pd.isna(ids[1]) and pd.isna(ids[2])
+    assert list(out["decode_ok"]) == [False, False, False]
+    # and the null-id rows still flow through Spark's schema (nullable)
+    df = spark.createDataFrame(
+        pdf, "media_id long, media_type string, content binary")
+    from martial_arts_ocr_spark.multimodal import extract_media_features
+    rows = extract_media_features(df).collect()
+    assert sorted(r.media_id is None for r in rows) == [False, True, True]

@@ -156,3 +156,27 @@ def test_read_metrics_empty_warehouse(spark, tmp_path):
     from martial_arts_ocr_spark.engine.resume import read_metrics
 
     assert read_metrics(spark, str(tmp_path / "nowhere")).count() == 0
+
+
+def test_second_run_id_refused_even_before_first_checkpoint(
+        spark, pages, tmp_path):
+    """Round-4 ADVICE: the cross-run_id guard must hold even when run 1
+    crashed BEFORE its first checkpoint write (zero checkpoint rows) —
+    the _run_<id>.json config pin is written at entry before any wave, so
+    scanning pins closes the window the checkpoints-table scan left open."""
+    from martial_arts_ocr_spark.engine.job import with_host
+
+    root = str(tmp_path / "wh")
+    p = with_host(pages)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, p, root, run_id="r1", n_buckets=4,
+                         batch_size=2, fail_after_waves=0)
+    # no checkpoint rows exist, but the pin does — r2 must still refuse
+    from martial_arts_ocr_spark.engine import catalog
+    assert not catalog.table_exists(root, "checkpoints")
+    with pytest.raises(ValueError, match="already holds"):
+        run_checkpointed(spark, p, root, run_id="r2",
+                         n_buckets=4, batch_size=2)
+    # the same run_id resumes normally and completes
+    assert run_checkpointed(spark, p, root, run_id="r1",
+                            n_buckets=4, batch_size=2) != []
