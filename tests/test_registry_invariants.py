@@ -37,32 +37,46 @@ def test_registry_size_frozen_for_round():
     assert len(ALL_QUERIES) == 65
 
 
+# The 50 names the round-4 driver gate blessed (CORRECTNESS_r04.json, all
+# green) — under the standing rotation policy, only these may sit past the
+# window in round 5, because only they have a driver row exactly one round
+# old. Next round this constant becomes the round-5 window.
+_R4_DRIVER_BLESSED = set(
+    "gopher_quality_flags gopher_line_flags repetition_flags "
+    "train_val_split source_quota_sample benchmark_contamination "
+    "dedup_clusters media_features audio_features video_features "
+    "events_asof_purchase doc_length_percentiles run_metrics "
+    "run_checkpoints extract_documents extract_hot_host "
+    "extract_with_invalid_rows host_profiles extract_roundtrip "
+    "extract_ja_segments extract_figures extract_macron_candidates "
+    "repeated_spans cosine_neardup_pairs jaccard_neardup_pairs "
+    "ivf_ann_top5 ann_cosine_top10 minhash_verified_pairs embedding_norms "
+    "lsh_bucket_candidates minhash_bands simhash simhash_neardup_pairs "
+    "argmax_order events_sliding_windows events_gap_flags "
+    "whitespace_normalize sentence_counts doc_trigram_head "
+    "custkeys_both_years region_nation_matrix party_balances_union "
+    "top_users_per_event_type part_size_buckets pii_redact "
+    "doc_stats_by_lang exact_dup_groups dedup_survivors fingerprints "
+    "quality_buckets".split()
+)
+
+
 def test_gate_window_membership_pinned():
-    """The driver gate audits only the FIRST 50 registry entries (observed
-    cap, rounds 2-4). The rotation that put the long-unblessed queries
-    inside that window is insertion-order-fragile, so pin it: every query
-    that has never had (or only just got) a driver-green row must sit in
-    the first 50, and only long-blessed relational/textops entries (driver
-    -green since round 1-2, still covered by the full-registry
-    tests/oracle_check.py mirror every round) may sit past the window."""
+    """Standing rotation policy (round-4 VERDICT item 1): the driver gate
+    audits only the FIRST 50 registry entries, so the ordering rotates each
+    round. Pin the round-5 invariants: (a) _GATE_HEAD — last round's tail
+    plus this round's new queries — leads the registry, inside the window;
+    (b) every query PAST the window has a driver-green row exactly one
+    round old (it was in round 4's audited window)."""
+    from martial_arts_ocr_spark.queries import _GATE_HEAD
+
     names = list(ALL_QUERIES)
     window = set(names[:50])
-    must_be_gated = {
-        "extract_macron_candidates", "run_metrics", "run_checkpoints",
-        "media_features", "audio_features", "video_features",
-        "events_asof_purchase", "doc_length_percentiles", "dedup_clusters",
-        "gopher_quality_flags", "gopher_line_flags", "repetition_flags",
-        "train_val_split", "source_quota_sample", "benchmark_contamination",
-    }
-    assert must_be_gated <= window, sorted(must_be_gated - window)
+    assert set(_GATE_HEAD) <= window, sorted(set(_GATE_HEAD) - window)
+    assert names[:len(_GATE_HEAD)] == _GATE_HEAD
     ungated = set(names[50:])
-    long_blessed = set(
-        "pricing_summary top_revenue_customers order_priority "
-        "region_balance top_parts_per_brand customers_with_orders "
-        "customers_without_orders custkeys_1996_not_1997 orders_rollup "
-        "events_hourly events_sessions pii_redact doc_stats_by_lang "
-        "exact_dup_groups dedup_survivors fingerprints quality_buckets "
-        "langid_heuristic tokens_by_source bpe_token_counts punct_ratio"
-        .split()
-    )
-    assert ungated <= long_blessed, sorted(ungated - long_blessed)
+    assert ungated <= _R4_DRIVER_BLESSED, sorted(ungated - _R4_DRIVER_BLESSED)
+    # rotation sanity: nothing is BOTH head and past-window, and the tail
+    # size is exactly len(registry) - 50
+    assert not (set(_GATE_HEAD) & ungated)
+    assert len(ungated) == max(0, len(names) - 50)
