@@ -46,6 +46,7 @@ _GATE_HEAD = [
     "custkeys_1996_not_1997", "orders_rollup", "events_hourly",
     "events_sessions",
     # round-5 additions (first driver row required this round):
+    "url_canonical_dups",
 ]
 
 _all_q: dict = {}

@@ -350,7 +350,135 @@ FROM probe ORDER BY doc_id
 """
 
 
+# --- URL canonicalization dedup --------------------------------------------------
+#
+# Common-Crawl-lineage dedup starts BEFORE content hashing: normalize the
+# URL (lowercase scheme+host, strip fragments and tracking params, collapse
+# trailing slashes) and collapse the crawl's per-variant fetches. The
+# corpus has no url column, so deterministic messy variants are injected
+# doc_id-arithmetically (the pii_redact precedent): 5 syntactic variants of
+# the same logical page, page identity doc_id % 97 so distinct docs collide.
+# Pure map-only column algebra (regexp chains are JVM-side; identical
+# simple-character-class semantics in RE2/DuckDB) + one groupBy — at 100 TB
+# this fuses into the scan and shuffles only (canonical_url, count).
+#
+# Step order matters and is shared verbatim with the oracle:
+#   1. strip #fragment            2. lowercase scheme://host (path case kept)
+#   3. split query on '&', DROP utm_* params (param-boundary-aware: a
+#      value merely containing 'utm_' is kept — regex stripping gets this
+#      wrong) and empty params, rejoin   4. strip trailing '/'s on the path
+
+_URL_FRAG_RE = "#.*"
+_URL_PREFIX_RE = "^[^/?#]*//[^/?#]*"          # scheme://host[:port]
+_URL_QUERY_RE = "[?].*"                       # first '?' to end
+_URL_TRAIL_SLASH_RE = "/+$"
+
+
+def canonical_url_expr(u):
+    """Canonicalization as a Column expression (steps documented above)."""
+    u = F.regexp_replace(u, _URL_FRAG_RE, "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 0)),
+        F.regexp_replace(u, _URL_PREFIX_RE, ""),
+    )
+    base = F.regexp_replace(F.regexp_replace(u, _URL_QUERY_RE, ""),
+                            _URL_TRAIL_SLASH_RE, "")
+    params = F.filter(
+        F.split(F.regexp_extract(u, "[?](.*)", 1), "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    return F.concat(
+        base,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(u: str) -> str:
+    """Same steps in DuckDB SQL (regexp_replace needs the 'g' flag)."""
+    s = f"regexp_replace({u}, '{_URL_FRAG_RE}', '', 'g')"
+    s = (f"(lower(regexp_extract({s}, '{_URL_PREFIX_RE}'))"
+         f" || regexp_replace({s}, '{_URL_PREFIX_RE}', '', 'g'))")
+    base = (f"regexp_replace(regexp_replace({s}, '{_URL_QUERY_RE}', '', 'g'),"
+            f" '{_URL_TRAIL_SLASH_RE}', '', 'g')")
+    params = (f"list_filter(string_split(regexp_extract({s}, '[?](.*)', 1),"
+              f" '&'), p -> NOT starts_with(p, 'utm_') AND p <> '')")
+    return (f"({base} || CASE WHEN len({params}) > 0"
+            f" THEN '?' || array_to_string({params}, '&') ELSE '' END)")
+
+
+def _injected_url_expr():
+    p = (F.col("doc_id") % 97).cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("https://docs.example.com/page/"), p)
+    return (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(F.lit("HTTPS://DOCS.Example.COM/page/"), p,
+                               F.lit("#section-2")))
+        .when(v == 2, F.concat(base, F.lit("/?utm_source=feed&utm_campaign=c"),
+                               p))
+        .when(v == 3, F.concat(base, F.lit("?ref=r"),
+                               (F.col("doc_id") % 3).cast("string"),
+                               F.lit("&utm_medium=email")))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+
+
+def q_url_canonical_dups(spark, sf_dir):
+    """URL-canonicalization dup groups: variants 0/1/2/4 of a page collapse
+    onto one canonical url; variant 3 keeps its non-tracking ?ref= param
+    and stays distinct. Output: canonical url, how many raw fetches and
+    distinct raw spellings collapsed onto it, and the survivor doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id", _injected_url_expr().alias("url"))
+    return (
+        d.select("doc_id", "url", canonical_url_expr(F.col("url"))
+                 .alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.countDistinct("url").alias("n_raw_urls"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_fetches") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+_URL_INJECT_SQL = """
+  CASE doc_id % 5
+    WHEN 0 THEN 'https://docs.example.com/page/' || CAST(doc_id % 97 AS VARCHAR)
+    WHEN 1 THEN 'HTTPS://DOCS.Example.COM/page/' || CAST(doc_id % 97 AS VARCHAR)
+                || '#section-2'
+    WHEN 2 THEN 'https://docs.example.com/page/' || CAST(doc_id % 97 AS VARCHAR)
+                || '/?utm_source=feed&utm_campaign=c'
+                || CAST(doc_id % 97 AS VARCHAR)
+    WHEN 3 THEN 'https://docs.example.com/page/' || CAST(doc_id % 97 AS VARCHAR)
+                || '?ref=r' || CAST(doc_id % 3 AS VARCHAR) || '&utm_medium=email'
+    ELSE 'https://docs.example.com/page/' || CAST(doc_id % 97 AS VARCHAR) || '/'
+  END
+"""
+
+
+def _oracle_url_canonical() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_INJECT_SQL} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, url, {canonical_url_sql('url')} AS canonical_url FROM raw
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+ORDER BY canonical_url
+"""
+
+
 QUERIES = {
+    "url_canonical_dups": q_url_canonical_dups,
     "pii_redact": q_pii_redact,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "exact_dup_groups": q_exact_dup_groups,
@@ -364,6 +492,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_canonical_dups": _oracle_url_canonical,
     "pii_redact": ORACLE_PII,
     "doc_stats_by_lang": ORACLE_DOC_STATS,
     "exact_dup_groups": ORACLE_DUP_GROUPS,
