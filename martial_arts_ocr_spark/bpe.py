@@ -1,0 +1,189 @@
+"""Deterministic BPE tokenizer over the regex pre-tokenizer stream.
+
+Round-4 VERDICT item 4: ``bpe_token_counts`` was a regex pre-tokenizer
+only; token counts drive every training-data budget, so the count
+semantics are now real merge-table BPE (Sennrich et al. 2016 shape):
+
+* **stage 1 (unchanged)**: the GPT-2-style pre-tokenizer regex
+  (letter runs / digit runs / single punctuation — ASCII classes only so
+  Java-regex, RE2 and Python ``re`` agree byte-for-byte);
+* **stage 2 (new)**: greedy pair-merge over each pre-token's character
+  sequence using a learned merge table, lowest-rank-first — the classic
+  BPE encode loop.
+
+The merge table is TRAINED ONCE on the fixed sf0.001 fixture corpus and
+baked into ``BPE_MERGES`` (regenerate via ``scripts/regen_bpe.py``; the
+script asserts the literal matches a fresh train run). Training a
+tokenizer offline on a fixed sample and applying it fleet-wide is exactly
+the production shape — application is a map-only Arrow-batched UDF with
+per-batch word memoization (the pre-token vocabulary repeats heavily, so
+each unique word is encoded once per batch).
+
+Determinism: tie-breaks in training are (count DESC, pair lexicographic
+ASC); encode merges the single lowest-rank adjacent pair per step,
+leftmost occurrence first (all occurrences of that pair in the word merge
+in the same step). No RNG, no hash(), no wall clock anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+# same pattern as queries/textops.py's stage-1 counter (single source kept
+# there would create an import cycle; the regen script asserts equality)
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+N_MERGES = 64
+
+
+def _merge_once(sym: tuple, a: str, b: str) -> tuple:
+    """Merge every adjacent (a, b) occurrence in one pass (leftmost-first,
+    non-overlapping — 'aaa' with merge (a,a) becomes ('aa', 'a'))."""
+    out = []
+    i = 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(texts, n_merges: int = N_MERGES) -> list[tuple[str, str]]:
+    """Learn a merge table: repeatedly merge the most frequent adjacent
+    symbol pair (frequency weighted by pre-token frequency). Stops early
+    when no pair occurs at least twice."""
+    pat = re.compile(PRETOKEN_RE)
+    wfreq: Counter = Counter()
+    for t in texts:
+        wfreq.update(pat.findall(t))
+    words = {w: tuple(w) for w in wfreq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wfreq.items():
+            sym = words[w]
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        best, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for w, sym in words.items():
+            words[w] = _merge_once(sym, a, b)
+    return merges
+
+
+def encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one pre-token: repeatedly apply the
+    lowest-rank adjacent pair present until none applies."""
+    sym: tuple = tuple(word)
+    while len(sym) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            break
+        sym = _merge_once(sym, *best_pair)
+    return len(sym)
+
+
+def doc_token_count(text: str,
+                    ranks: dict[tuple[str, str], int],
+                    cache: dict[str, int] | None = None) -> int:
+    """BPE token count of a document = sum over its pre-tokens."""
+    pat = re.compile(PRETOKEN_RE)
+    total = 0
+    for w in pat.findall(text):
+        if cache is not None and w in cache:
+            total += cache[w]
+            continue
+        n = encode_len(w, ranks)
+        if cache is not None:
+            cache[w] = n
+        total += n
+    return total
+
+
+def merge_ranks(merges=None) -> dict[tuple[str, str], int]:
+    return {pair: i for i, pair in enumerate(
+        BPE_MERGES if merges is None else merges)}
+
+
+# Learned on /root/testdata/sf0.001/documents.parquet (500 docs, 31-word
+# pre-token vocabulary) — regenerate ONLY via scripts/regen_bpe.py, which
+# retrains and asserts this literal is current.
+BPE_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'),
+    ('o', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('s', 't'),
+    ('l', 'u'),
+    ('a', 'r'),
+    ('p', 'ar'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('a', 'n'),
+    ('c', 'an'),
+    ('s', 'can'),
+    ('c', 'o'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n'),
+    ('d', 'ow'),
+    ('in', 'dow'),
+    ('w', 'indow'),
+    ('d', 'er'),
+    ('or', 'der'),
+    ('or', 't'),
+    ('s', 'ort'),
+    ('par', 't'),
+    ('u', 'p'),
+    ('a', 'g'),
+    ('ag', 'g'),
+    ('a', 'lu'),
+    ('alu', 'e'),
+    ('v', 'alue'),
+    ('in', 'e'),
+    ('l', 'ine'),
+    ('e', 'y'),
+    ('k', 'ey'),
+    ('j', 'o'),
+    ('jo', 'in'),
+    ('g', 'e'),
+    ('mer', 'ge'),
+    ('er', 'y'),
+    ('g', 'r'),
+    ('gr', 'o'),
+    ('gro', 'up'),
+    ('q', 'u'),
+    ('qu', 'ery'),
+    ('c', 't'),
+    ('ct', 'or'),
+    ('e', 'ctor'),
+    ('v', 'ector'),
+    ('a', 's'),
+    ('as', 'h'),
+    ('h', 'ash'),
+    ('l', 'ow'),
+    ('s', 'low'),
+    ('a', 'm'),
+    ('e', 'am'),
+    ('r', 'eam'),
+    ('st', 'ream'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er'),
+    ('a', 'st'),
+    ('f', 'ast'),
+]

@@ -2,13 +2,18 @@
 
 The text-statistics / quality / language operators from SURVEY.md §2.4
 (A5-A7) and the large-scale-pipeline additions (exact dedup, fingerprinting,
-token counting, language-ID heuristic, quality scoring) — all expressed as
-JVM-side Column algebra (no Python UDFs in this module; whole-stage codegen
-end-to-end), each with a DuckDB oracle.
+token counting, language-ID heuristic, quality scoring, URL
+canonicalization) — expressed as JVM-side Column algebra wherever the
+semantics allow (whole-stage codegen end-to-end); the one exception is
+``bpe_token_counts``, whose merge-loop semantics need a (vectorized,
+Arrow-batched) pandas UDF. Each query has a DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd    # module-level: pandas_udf resolves the stringified
+# 'pd.Series' annotations in the defining function's GLOBAL namespace
+# (a local `import pandas as pd` fails with UNSUPPORTED_SIGNATURE)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -211,38 +216,93 @@ ORDER BY total_tokens DESC, source ASC LIMIT 10
 """
 
 
-# BPE-ish pre-tokenizer classes (the GPT-2 pre-tokenizer's shape: letter
+# BPE pre-tokenizer classes (the GPT-2 pre-tokenizer's shape: letter
 # runs / digit runs / single punctuation — without the \\p{L} unicode
-# properties so Java-regex and RE2 semantics are identical)
+# properties so Java-regex, RE2 and Python `re` semantics are identical).
+# Stage 1 of the real BPE tokenizer in martial_arts_ocr_spark/bpe.py
+# (which keeps its own copy to avoid an import cycle; scripts/regen_bpe.py
+# asserts the two patterns stay equal).
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _bpe_count_udf():
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def bpe_count(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .. import bpe
+
+        ranks = bpe.merge_ranks()
+        cache: dict = {}            # per-batch word memoization: the
+        # pre-token vocabulary repeats heavily, so each unique word runs
+        # the merge loop once per Arrow batch
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            out[i] = bpe.doc_token_count(t, ranks, cache)
+        return pd.Series(out)
+
+    return bpe_count
+
+
 def q_bpe_token_counts(spark, sf_dir):
-    """Token counting with a BPE-ish regex (vs whitespace counting in
-    tokens_by_source): letter runs, digit runs, and single punctuation
-    marks each count as one token — the pre-tokenization a BPE trainer
-    sees. Pure Column algebra (regexp_count is JVM-side)."""
+    """REAL merge-table BPE token counts (round-4 VERDICT item 4 — the
+    previous version counted stage-1 pre-tokens only): stage 1 is the
+    regex pre-tokenizer (_BPE_RE), stage 2 applies the baked 64-merge
+    table learned once from the fixed sf0.001 fixture (bpe.BPE_MERGES —
+    the production shape: tokenizer trained offline, applied fleet-wide).
+    Application is one Arrow-batched pandas UDF with per-batch word
+    memoization — map-only, then a partial-agg groupBy(lang); at 100 TB
+    this is scan-shaped with the merge table a task-local constant."""
     d = _docs(spark, sf_dir)
-    toks = F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint")
+    bc = _bpe_count_udf()
+    counted = d.select("lang", bc(F.col("text")).alias("n_tokens"))
     return (
-        d.groupBy("lang")
+        counted.groupBy("lang")
         .agg(
-            F.sum(toks).alias("bpe_tokens"),
+            F.sum("n_tokens").alias("bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.max(toks).alias("max_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
         )
         .orderBy("lang")
     )
 
 
-ORACLE_BPE_TOKENS = f"""
-SELECT lang,
-       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
-         AS bpe_tokens,
+def _oracle_bpe_tokens() -> str:
+    """Per-doc BPE counts from the pure-Python mirror (single-doc loop, no
+    batch memoization) baked as VALUES over the gate parquet — the
+    k-means-centroid baked-literal technique, registered as a CALLABLE so
+    the parquet read happens at oracle_sql() time on the driver. Same env
+    coupling as neardup._oracle_ivf: comparing at any SF other than sf0.01
+    requires SPARK_GRAFT_ORACLE_SF. DuckDB independently re-joins the
+    counts to documents and re-aggregates per lang."""
+    import os
+
+    import duckdb
+
+    from .. import bpe
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    ranks = bpe.merge_ranks()
+    vals = ", ".join(
+        f"({did}, {bpe.doc_token_count(t, ranks)})" for did, t in rows
+    )
+    return f"""
+-- per-doc BPE token counts mirrored from: {sf}/documents.parquet
+WITH counts(doc_id, n_tokens) AS (VALUES {vals})
+SELECT d.lang, CAST(sum(c.n_tokens) AS BIGINT) AS bpe_tokens,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(max(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
-         AS max_doc_tokens
-FROM documents GROUP BY lang ORDER BY lang
+       CAST(max(c.n_tokens) AS BIGINT) AS max_doc_tokens
+FROM documents d JOIN counts c USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
 """
 
 
@@ -501,6 +561,6 @@ ORACLES = {
     "quality_buckets": ORACLE_QUALITY,
     "langid_heuristic": ORACLE_LANGID,
     "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
-    "bpe_token_counts": ORACLE_BPE_TOKENS,
+    "bpe_token_counts": _oracle_bpe_tokens,
     "punct_ratio": ORACLE_PUNCT,
 }
