@@ -47,6 +47,7 @@ _GATE_HEAD = [
     "events_sessions",
     # round-5 additions (first driver row required this round):
     "url_canonical_dups",
+    "lm_perplexity_buckets",
 ]
 
 _all_q: dict = {}

@@ -26,6 +26,8 @@ beyond dedup/sketching (similarity.py, neardup.py) and text stats
 
 from __future__ import annotations
 
+import pandas as pd    # module-level: pandas_udf resolves stringified
+# 'pd.Series' annotations in the defining module's global namespace
 from pyspark.sql import functions as F
 
 _GOPHER_MIN_WORDS = 50
@@ -497,6 +499,190 @@ FROM f ORDER BY doc_id
 """
 
 
+# --- char-bigram LM perplexity filter (round-4 VERDICT item 2) -----------------
+#
+# The CCNet-lineage statistical quality gate the rule-based surface lacked:
+# score every document under a character-bigram language model trained on
+# a FIXED-SIZE corpus sample (doc_id < 200 — training cost is constant at
+# any corpus scale, the KenLM production shape), then bucket keep/flag/drop
+# on average per-bigram cost.
+#
+# Cross-engine exactness: probabilities never cross the engine boundary.
+# Log-probs are quantized ONCE, driver-side, to integer MILLIBITS
+# (round(-1000·log2 p)) by the shared derivation `lm_cost_table`; Spark
+# scores through a 129×129 int64 cost-matrix lookup in one Arrow-batched
+# UDF (map-only — scoring shuffles nothing at 100 TB), DuckDB re-scores
+# independently via an unnest + LEFT JOIN against the baked VALUES model;
+# both sides then compare pure integers with cross-multiplied thresholds
+# (the Gopher-flags technique). Add-one smoothing over the seen-ASCII
+# alphabet; any pair touching an unseen or non-ASCII char costs the
+# global unknown constant.
+
+_LM_TRAIN_DOCS = 200     # training sample: doc_id < 200 (fixed at any SF)
+_LM_KEEP_MB = 2450       # avg millibits/bigram ≤ 2450 → keep
+_LM_DROP_MB = 2520       # avg millibits/bigram > 2520 → drop; else flag
+
+
+def lm_cost_table(bigram_counts: dict[str, int]) -> tuple[dict[str, int], int]:
+    """Quantized add-one char-bigram model from raw bigram counts.
+
+    Returns (costs, unk): integer millibit costs for EVERY pair of seen
+    ASCII chars (so the model is total on its alphabet), and the global
+    unknown cost for pairs touching any other char. Shared by the Spark
+    query and the DuckDB oracle — the ONE place log2 runs, driver-side,
+    so no transcendental ever crosses the engine boundary (CLAUDE.md
+    round-4 rule)."""
+    import math
+
+    ascii_counts = {
+        bg: c for bg, c in bigram_counts.items()
+        if len(bg) == 2 and all(ord(ch) < 128 for ch in bg)
+    }
+    chars = sorted({ch for bg in ascii_counts for ch in bg})
+    ctx: dict[str, int] = {}
+    for bg, c in ascii_counts.items():
+        ctx[bg[0]] = ctx.get(bg[0], 0) + c
+    v = len(chars)
+    costs = {}
+    for a in chars:
+        ca = ctx.get(a, 0)
+        for b in chars:
+            p = (ascii_counts.get(a + b, 0) + 1) / (ca + v)
+            costs[a + b] = round(-1000 * math.log2(p))
+    unk = round(1000 * math.log2(v + 1)) if v else 0
+    return costs, unk
+
+
+_LM_CACHE: dict = {}
+
+
+def _lm_model(spark, sf_dir):
+    """Train via Spark (explode bigrams of the fixed sample → groupBy →
+    vocab-sized collect, the k-means-means collect pattern); cached per
+    (app, sf_dir) so repeated invocations don't retrain."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LM_CACHE:
+        d = _docs(spark, sf_dir).where(
+            (F.col("doc_id") < _LM_TRAIN_DOCS) & (F.length("text") >= 2))
+        bgs = d.select(F.explode(F.expr(
+            "transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2))")).alias("bg"))
+        counts = {r["bg"]: r["n"] for r in
+                  bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        _LM_CACHE[key] = lm_cost_table(counts)
+    return _LM_CACHE[key]
+
+
+def _lm_score_udf(costs: dict[str, int], unk: int):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    mat = np.full((129, 129), unk, dtype=np.int64)
+    for bg, c in costs.items():
+        mat[ord(bg[0]), ord(bg[1])] = c
+
+    @pandas_udf(T.LongType())
+    def lm_score(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            if len(t) < 2:
+                continue
+            # exact char codes, vectorized; anything non-ASCII clips to
+            # the sentinel row/col 128 = global unknown (same as the
+            # oracle's LEFT-JOIN miss)
+            codes = np.minimum(
+                np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32),
+                128,
+            ).astype(np.int64)
+            out[i] = mat[codes[:-1], codes[1:]].sum()
+        return pd.Series(out)
+
+    return lm_score
+
+
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """Per-doc LM cost + keep/flag/drop bucket (module comment above).
+    Reference analogue for the score-text-quality shape:
+    /root/reference/utils/text/text_utils.py:619-645 (confidence_score_text)."""
+    costs, unk = _lm_model(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    score = _lm_score_udf(costs, unk)
+    n_bg = F.greatest(F.length("text") - 1, F.lit(0)).cast("bigint")
+    out = d.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        score(F.col("text")).alias("total_millibits"),
+    )
+    bucket = (
+        F.when(F.col("total_millibits") <= F.col("n_bigrams") * _LM_KEEP_MB,
+               "keep")
+        .when(F.col("total_millibits") > F.col("n_bigrams") * _LM_DROP_MB,
+              "drop")
+        .otherwise("flag")
+    )
+    return out.select("doc_id", "n_bigrams", "total_millibits",
+                      bucket.alias("bucket")).orderBy("doc_id")
+
+
+def _oracle_lm_perplexity() -> str:
+    """Independent DuckDB re-scoring against the baked integer model:
+    counts come from a pure-Python loop over the training sample (vs
+    Spark's explode/groupBy), scoring from unnest + LEFT JOIN (vs the
+    numpy matrix). Only `lm_cost_table` is shared. Same
+    SPARK_GRAFT_ORACLE_SF env coupling as neardup._oracle_ivf."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet') "
+        f"WHERE doc_id < {_LM_TRAIN_DOCS} ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    counts: dict[str, int] = {}
+    for (t,) in rows:
+        for i in range(len(t) - 1):
+            bg = t[i:i + 2]
+            counts[bg] = counts.get(bg, 0) + 1
+    costs, unk = lm_cost_table(counts)
+    vals = ", ".join(
+        "('" + bg.replace("'", "''") + f"', {c})" for bg, c in
+        sorted(costs.items())
+    )
+    return f"""
+-- char-bigram LM model trained on: {sf}/documents.parquet (doc_id < {_LM_TRAIN_DOCS})
+WITH model(bg, cost) AS (VALUES {vals}),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(text) >= 2 THEN
+             list_transform(generate_series(1, length(text) - 1),
+                            i -> substr(text, i, 2))
+             ELSE [] END) AS bg
+  FROM documents
+),
+scored AS (
+  SELECT p.doc_id, sum(coalesce(m.cost, {unk})) AS total
+  FROM pos p LEFT JOIN model m USING (bg) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(length(d.text) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.total, 0) AS BIGINT) AS total_millibits,
+       CASE WHEN coalesce(s.total, 0)
+                 <= greatest(length(d.text) - 1, 0) * {_LM_KEEP_MB}
+            THEN 'keep'
+            WHEN coalesce(s.total, 0)
+                 > greatest(length(d.text) - 1, 0) * {_LM_DROP_MB}
+            THEN 'drop' ELSE 'flag' END AS bucket
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _QUOTA_PER_SOURCE = 20
 _QUOTA_SALT = "quota-v1"
 
@@ -534,6 +720,7 @@ ORDER BY source, rn
 
 
 QUERIES = {
+    "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_line_flags": q_gopher_line_flags,
     "repetition_flags": q_repetition_flags,
@@ -543,6 +730,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_perplexity_buckets": _oracle_lm_perplexity,
     "gopher_quality_flags": ORACLE_GOPHER,
     "gopher_line_flags": ORACLE_LINE_FLAGS,
     "repetition_flags": ORACLE_REPETITION,

@@ -1,0 +1,103 @@
+"""char-bigram LM perplexity filter (round-4 VERDICT item 2): model
+derivation determinism, integer-exactness of the bucket thresholds, UDF
+vs pure-Python scoring equality, and filter behavior on planted
+high-/low-perplexity documents."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from martial_arts_ocr_spark.queries.corpus import (
+    _LM_DROP_MB,
+    _LM_KEEP_MB,
+    _lm_model,
+    _lm_score_udf,
+    lm_cost_table,
+    q_lm_perplexity_buckets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_score(text, costs, unk):
+    return sum(costs.get(text[i:i + 2], unk) for i in range(len(text) - 1))
+
+
+def test_cost_table_deterministic_and_total():
+    counts = {"ab": 3, "ba": 1, "aa": 2}
+    c1, u1 = lm_cost_table(counts)
+    c2, u2 = lm_cost_table(dict(reversed(list(counts.items()))))
+    assert (c1, u1) == (c2, u2)
+    # total on its alphabet: every pair of seen chars is priced
+    assert set(c1) == {"aa", "ab", "ba", "bb"}
+    # frequent pair is cheaper than unseen-smoothed pair
+    assert c1["ab"] < c1["bb"]
+    # non-ASCII bigrams are excluded from the alphabet entirely
+    c3, _ = lm_cost_table({**counts, "é!": 50})
+    assert set(c3) == set(c1)
+
+
+def test_udf_matches_python_scoring(spark):
+    costs, unk = _lm_model(spark, SF)
+    d = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 60")
+    rows = d.select("doc_id", "text",
+                    _lm_score_udf(costs, unk)(F.col("text"))
+                    .alias("s")).collect()
+    for r in rows:
+        assert r.s == _py_score(r.text, costs, unk), r.doc_id
+
+
+def test_unknown_chars_cost_unk(spark):
+    costs, unk = _lm_model(spark, SF)
+    df = spark.createDataFrame(
+        [("日本語テスト",), ("ab",), ("",)], "text string")
+    got = [r.s for r in df.select(
+        _lm_score_udf(costs, unk)(F.col("text")).alias("s")).collect()]
+    assert got[0] == 5 * unk            # every bigram unknown
+    assert got[1] == costs["ab"]
+    assert got[2] == 0                  # empty text: zero bigrams → keep
+
+
+def test_buckets_fire_and_are_integer_exact(spark):
+    out = q_lm_perplexity_buckets(spark, SF).collect()
+    buckets = {r.bucket for r in out}
+    assert "keep" in buckets and "drop" in buckets and "flag" in buckets
+    for r in out:
+        # the bucket is a pure integer predicate — recompute it exactly
+        want = ("keep" if r.total_millibits <= r.n_bigrams * _LM_KEEP_MB
+                else "drop" if r.total_millibits > r.n_bigrams * _LM_DROP_MB
+                else "flag")
+        assert r.bucket == want, r.doc_id
+
+
+def test_planted_gibberish_drops_and_corpus_text_does_not(spark):
+    """A doc of rare-transition gibberish scores drop; a doc made of the
+    corpus' own common words stays well out of the drop band (the corpus
+    salad's transitions are near-uniform, so its docs average ~2460
+    millibits — 'keep' is exercised by test_buckets_fire; the separation
+    claim here is gibberish vs natural, over 3000 millibits apart)."""
+    costs, unk = _lm_model(spark, SF)
+    common = "the table value scan part row " * 30
+    gibberish = "zqxj wvkq jxqz qzxw " * 40
+    s_c = _py_score(common, costs, unk)
+    s_g = _py_score(gibberish, costs, unk)
+    assert s_c <= (len(common) - 1) * _LM_DROP_MB
+    assert s_g > (len(gibberish) - 1) * _LM_DROP_MB
+    # and the gap is wide: gibberish costs >2x per bigram
+    assert s_g * (len(common) - 1) > 2 * s_c * (len(gibberish) - 1)
+
+
+def test_model_matches_duckdb_trained_counts(spark):
+    """Spark-trained counts (explode/groupBy) and a DuckDB/Python count of
+    the same sample must produce the identical baked model."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id < 200"
+    ).fetchall()
+    con.close()
+    counts: dict = {}
+    for (t,) in rows:
+        for i in range(len(t) - 1):
+            counts[t[i:i + 2]] = counts.get(t[i:i + 2], 0) + 1
+    assert lm_cost_table(counts) == _lm_model(spark, SF)
