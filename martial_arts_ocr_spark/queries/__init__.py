@@ -48,6 +48,7 @@ _GATE_HEAD = [
     # round-5 additions (first driver row required this round):
     "url_canonical_dups",
     "lm_perplexity_buckets",
+    "incremental_snapshot_dedup",
 ]
 
 _all_q: dict = {}

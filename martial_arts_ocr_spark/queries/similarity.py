@@ -538,7 +538,104 @@ def q_minhash_verified_pairs(spark, sf_dir):
     )
 
 
+# --- incremental cross-snapshot dedup (round-4 VERDICT item 3) -------------------
+
+def q_incremental_snapshot_dedup(spark, sf_dir):
+    """Dedup a NEW snapshot against a persisted signature STORE before any
+    in-snapshot dedup — the incremental flow every production pipeline
+    runs per crawl (the self-dedup operators above assume one static
+    corpus). Demo split: even doc_ids are the already-ingested history
+    (their band keys ARE the store), odd doc_ids are the new snapshot.
+    Per new doc: how many distinct MinHash bands it shares with the store,
+    and its status — ``dup_vs_store`` (any store band hit, never enters
+    the corpus), else ``dup_in_snapshot`` (shares a band with a
+    lower-doc_id new doc — min-id-wins within the snapshot), else ``new``.
+
+    The persisted-store composition over a real warehouse (append-only
+    ``signatures`` table + snapshot log + exactly-once re-append guard)
+    is engine/sigstore.py, exercised by tests/test_sigstore.py; this
+    registered query oracles the same semantics via the exact SQL band
+    mirror (_minhash_keyed_cte). Scale shape: band keys are 8 longs per
+    doc computed in one map-only vectorized UDF pass; the store probe is
+    an equi-join on (band, band_key) — bucket the store on that key at
+    100 TB and the probe co-locates; no all-pairs join anywhere."""
+    d = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "incr_band_keys")
+    keys = _SIG_CACHE.get(key)
+    if keys is None:
+        mhb = _minhash_band_keys_udf()
+        keys = d.select(
+            "doc_id",
+            F.posexplode(mhb(F.col("text"))).alias("band", "band_key"),
+        ).persist()        # sketch ONCE; store/new/self-join all reuse it
+        _sig_cache_put(spark, key, keys)
+    store = (keys.where(F.col("doc_id") % 2 == 0)
+             .select("band", "band_key").distinct())
+    new = keys.where(F.col("doc_id") % 2 == 1)
+    hits = (
+        new.join(store, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").alias("n_store_bands"))
+    )
+    a, b = new.alias("a"), new.alias("b")
+    in_snap = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("b.doc_id").alias("doc_id")).distinct()
+        .withColumn("in_snap", F.lit(True))
+    )
+    base = d.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    out = base.join(hits, "doc_id", "left").join(in_snap, "doc_id", "left")
+    status = (
+        F.when(F.col("n_store_bands").isNotNull(), "dup_vs_store")
+        .when(F.col("in_snap"), "dup_in_snapshot")
+        .otherwise("new")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_store_bands", F.lit(0)).cast("bigint")
+        .alias("n_store_bands"),
+        status.alias("status"),
+    ).orderBy("doc_id")
+
+
+def _incremental_snapshot_oracle() -> str:
+    return f"""
+WITH {_minhash_keyed_cte()},
+store AS (
+  SELECT DISTINCT band, band_key FROM keyed WHERE doc_id % 2 = 0
+),
+new_keys AS (
+  SELECT * FROM keyed WHERE doc_id % 2 = 1
+),
+vs_store AS (
+  SELECT n.doc_id, count(DISTINCT n.band) AS n_store_bands
+  FROM new_keys n JOIN store s
+    ON n.band = s.band AND n.band_key = s.band_key
+  GROUP BY n.doc_id
+),
+in_snap AS (
+  SELECT DISTINCT y.doc_id
+  FROM new_keys x JOIN new_keys y
+    ON x.band = y.band AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(v.n_store_bands, 0) AS BIGINT) AS n_store_bands,
+       CASE WHEN v.doc_id IS NOT NULL THEN 'dup_vs_store'
+            WHEN i.doc_id IS NOT NULL THEN 'dup_in_snapshot'
+            ELSE 'new' END AS status
+FROM documents d
+LEFT JOIN vs_store v ON v.doc_id = d.doc_id
+LEFT JOIN in_snap i ON i.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "incremental_snapshot_dedup": q_incremental_snapshot_dedup,
     "ann_cosine_top10": q_ann_cosine_top10,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_norms": q_embedding_norms,
@@ -754,6 +851,7 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES = {
+    "incremental_snapshot_dedup": _incremental_snapshot_oracle,
     "ann_cosine_top10": ORACLE_ANN,
     "embedding_norms": ORACLE_NORMS,
     # builder CALLABLES, resolved by materialized_oracles() on the driver
