@@ -49,6 +49,7 @@ _GATE_HEAD = [
     "url_canonical_dups",
     "lm_perplexity_buckets",
     "incremental_snapshot_dedup",
+    "ivf_recall_curve",
 ]
 
 _all_q: dict = {}
