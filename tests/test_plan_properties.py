@@ -116,3 +116,31 @@ def test_corpus_curation_plan_shapes(spark):
     quota = _plan(spark, "source_quota_sample")
     assert "row_number" in quota
     assert "Join" not in quota
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Round-5 additions keep their scale shapes: URL canonicalization is
+    pure column algebra (no UDF, no join; one agg shuffle + presentation
+    sort), LM scoring and BPE counting are single Arrow-batched UDFs with
+    no join, and the incremental dedup probe is equi-join only (a
+    cartesian/BNL here would be the 100 TB scale-killer)."""
+    plan = _plan(spark, "url_canonical_dups")
+    assert "Join" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+    # 3 = count-distinct's standard two-phase expansion (partial on
+    # (canonical,url) then merge) + the presentation sort — all partial-
+    # aggregated, nothing data-sized crosses un-combined
+    assert plan.count("Exchange") <= 3, plan[:800]
+
+    plan = _plan(spark, "lm_perplexity_buckets")
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1, plan[:800]
+
+    plan = _plan(spark, "bpe_token_counts")
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan
+
+    plan = _plan(spark, "incremental_snapshot_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
