@@ -653,7 +653,11 @@ def _oracle_lm_perplexity() -> str:
     vals = ", ".join(
         "('" + bg.replace("'", "''") + f"', {c})" for bg, c in
         sorted(costs.items())
-    )
+    # a degenerate training sample (no ASCII bigrams) must not emit the
+    # syntactically-invalid `VALUES ` — one 3-char row (which can never
+    # equal a length-2 bigram) keeps the SQL well-formed and every lookup
+    # falls through to the unk coalesce, matching Spark's all-unk matrix
+    ) or "('###', 0)"
     return f"""
 -- char-bigram LM model trained on: {sf}/documents.parquet (doc_id < {_LM_TRAIN_DOCS})
 WITH model(bg, cost) AS (VALUES {vals}),

@@ -79,3 +79,34 @@ def test_spark_udf_matches_mirror_per_doc(spark):
     ).fetchall():
         assert got[did] == bpe.doc_token_count(text, ranks), did
     con.close()
+
+
+def test_encode_properties_on_fuzz_corpora():
+    """Properties on random corpora: (1) 1 <= encode_len(w) <= len(w);
+    (2) greedy lowest-rank-first encode reproduces the trainer's own
+    final segmentation of every training word (the two are equivalent
+    because merges fuse symbols and can never create an adjacency of two
+    pre-existing symbols — this pins that argument)."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(25):
+        vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(2, 12))]
+        corpus = [" ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(1, 30)))]
+        merges = bpe.train_bpe(corpus, n_merges=rng.randint(1, 20))
+        ranks = bpe.merge_ranks(merges)
+        # trainer's final state: apply merges in rank order to each word
+        for w in set("".join(corpus).split()):
+            sym = tuple(w)
+            for a, b in merges:
+                sym = bpe._merge_once(sym, a, b)
+            got = bpe.encode_len(w, ranks)
+            assert got == len(sym), (trial, w, merges)
+            assert 1 <= got <= len(w)
+
+
+def test_unknown_ranks_never_merge():
+    assert bpe.encode_len("hello", {}) == 5
+    assert bpe.doc_token_count("", bpe.merge_ranks()) == 0

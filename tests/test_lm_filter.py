@@ -87,6 +87,47 @@ def test_planted_gibberish_drops_and_corpus_text_does_not(spark):
     assert s_g * (len(common) - 1) > 2 * s_c * (len(gibberish) - 1)
 
 
+def test_udf_matches_python_on_fuzzed_unicode(spark):
+    """The UDF scores via a utf-32 code-point view clipped at the 128
+    sentinel; the oracle path slices Python strings. Fuzz strings mixing
+    ASCII, Latin-1, CJK, and astral-plane emoji (where UTF-16 code-unit
+    counting would diverge from code-point counting) and require exact
+    agreement — including that Spark's length() (n_bigrams) counts code
+    points like Python len()."""
+    import random
+
+    costs, unk = _lm_model(spark, SF)
+    rng = random.Random(55)
+    alphabet = "the scan! é漢字\U0001d11e\U0001f980 5 \n\tqz"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        _lm_score_udf(costs, unk)(F.col("text")).alias("s"),
+        F.greatest(F.length("text") - 1, F.lit(0)).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r.s == _py_score(r.text, costs, unk), repr(r.text)
+        assert r.n == max(len(r.text) - 1, 0), repr(r.text)
+
+
+def test_degenerate_training_sample_oracle_stays_wellformed():
+    """lm_cost_table on counts with no ASCII bigrams yields an empty cost
+    table; the oracle builder must still emit runnable SQL whose every
+    lookup falls through to unk — mirror of the Spark all-unk matrix."""
+    costs, unk = lm_cost_table({"漢字": 5})
+    assert costs == {} and unk == 0
+    # the VALUES fallback row is 3 chars — prove a join against it can
+    # never match a 2-char document bigram
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM (VALUES ('###', 0)) m(bg, cost) "
+        "WHERE m.bg = 'ab'").fetchone()[0]
+    assert n == 0
+    con.close()
+
+
 def test_model_matches_duckdb_trained_counts(spark):
     """Spark-trained counts (explode/groupBy) and a DuckDB/Python count of
     the same sample must produce the identical baked model."""

@@ -70,3 +70,34 @@ def test_duckdb_canonicalization_matches_spark(canon_pairs):
         got = con.execute(f"SELECT {canonical_url_sql(lit)}").fetchone()[0]
         assert got == want, (raw, got, want)
     con.close()
+
+
+def test_cross_dialect_fuzz_and_idempotence(spark):
+    """The canonicalizer lives in two regex dialects (Java / RE2) — fuzz
+    URL-shaped strings through BOTH engines in one batch and require
+    byte-equality, plus idempotence (canonicalizing a canonical URL is a
+    no-op): the two properties that catch dialect drift and
+    order-of-steps bugs that hand-picked goldens miss."""
+    import random
+
+    rng = random.Random(20260817)
+    frags = ["https://", "HTTP://", "//", "", "Example.COM", "a.b", ":81",
+             "/p", "/P/q", "?", "&", "#", "utm_", "utm_a=1", "ref=2",
+             "x=utm_decoy", "=", "/", "//", "...", "%20", "~u", "a b"]
+    urls = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+            for _ in range(800)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        (r.url, r.c1, r.c2) for r in df.select(
+            "url",
+            canonical_url_expr(F.col("url")).alias("c1"),
+            canonical_url_expr(canonical_url_expr(F.col("url"))).alias("c2"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for u, c1, c2 in got_spark:
+        lit = "'" + u.replace("'", "''") + "'"
+        duck = con.execute(f"SELECT {canonical_url_sql(lit)}").fetchone()[0]
+        assert duck == c1, (u, c1, duck)
+        assert c2 == c1, ("not idempotent", u, c1, c2)
+    con.close()
