@@ -121,6 +121,7 @@ def run_checkpointed(
     hot_hosts: list[str] | None = None,
     fail_after_waves: int | None = None,
     files_per_bucket: int = 1,
+    sign_snapshots: bool = False,
 ) -> list[int]:
     """Process all pending buckets in waves; returns buckets processed.
 
@@ -133,6 +134,17 @@ def run_checkpointed(
     collisions, same mode as the kernel-stage gotcha); a deployment that
     needs a hard per-file cap sets ``spark.sql.files.maxRecordsPerFile``
     on top, which splits at write time without any salt column.
+
+    ``sign_snapshots`` (round-5): additionally append each wave's MinHash
+    band keys (url-keyed, over the EXTRACTED text) to the warehouse's
+    ``signatures`` table via engine/sigstore.py — wave-granular snapshot
+    ids (``<run_id>/wave<k>``) give the append the same exactly-once
+    discipline as the checkpoint rows (already-logged waves skip; a crash
+    between sign and checkpoint re-runs the wave, whose byte-identical
+    signature rows collapse in ``sigstore.read_store``). A LATER crawl
+    then calls ``sigstore.dedup_new_snapshot`` against this warehouse to
+    drop documents already ingested — incremental cross-snapshot dedup as
+    a pipeline flow, not just a registered query.
     """
     # one corpus snapshot per warehouse root: the extracted table's
     # bucket dirs are replaced wholesale per wave, so a SECOND run_id
@@ -171,13 +183,14 @@ def run_checkpointed(
     try:
         return _run_waves(spark, bucketed, root, run_id, n_buckets,
                           batch_size, hot_hosts, fail_after_waves,
-                          files_per_bucket)
+                          files_per_bucket, sign_snapshots)
     finally:
         bucketed.unpersist()
 
 
 def _run_waves(spark, bucketed, root, run_id, n_buckets, batch_size,
-               hot_hosts, fail_after_waves, files_per_bucket) -> list[int]:
+               hot_hosts, fail_after_waves, files_per_bucket,
+               sign_snapshots=False) -> list[int]:
     present = sorted(
         r.part_bucket
         for r in bucketed.select("part_bucket").distinct().collect()
@@ -243,6 +256,14 @@ def _run_waves(spark, bucketed, root, run_id, n_buckets, batch_size,
         #    does not re-sort away the (host, url) clustering.
         tmp_dir = os.path.join(root, f"_tmp_wave_{run_id}_{wave_no}")
         try:
+            if sign_snapshots:
+                from . import sigstore
+                sigstore.append_snapshot_signatures(
+                    spark, root,
+                    extracted.where(F.col("status") == "completed"),
+                    snapshot=f"{run_id}/wave{wave_no}",
+                    key_col="url", text_col="text",
+                )
             _commit_wave(spark, extracted, root, run_id, wave, wave_no,
                          tmp_dir, ext_path, files_per_bucket)
         finally:

