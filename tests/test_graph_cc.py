@@ -51,3 +51,25 @@ def test_empty_edges(spark):
         _edges(spark, []).where(F.lit(False))
     ).collect()
     assert out == []
+
+
+def test_reliable_checkpoint_mode_same_labels(spark, tmp_path):
+    """reliable=True (round-5: the executor-loss-safe 100 TB mode) must
+    produce identical components to the localCheckpoint default — on a
+    chain graph whose diameter exercises several pointer-jump rounds."""
+    from martial_arts_ocr_spark.queries.graph import connected_components
+
+    n = 40
+    rows = [(i, i + 1) for i in range(n)] + [(100, 101), (200, 200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    und = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    local = {(r.doc, r.lbl)
+             for r in connected_components(und).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = {(r.doc, r.lbl)
+           for r in connected_components(und, reliable=True).collect()}
+    assert rel == local
+    # every chain node labeled 0, the island pair 100, the loner 200
+    assert all(lbl == 0 for d, lbl in rel if d <= n)
+    assert {lbl for d, lbl in rel if d in (100, 101)} == {100}
+    assert (200, 200) in rel
