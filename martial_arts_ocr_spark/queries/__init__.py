@@ -50,6 +50,7 @@ _GATE_HEAD = [
     "lm_perplexity_buckets",
     "incremental_snapshot_dedup",
     "ivf_recall_curve",
+    "corpus_keep_set",
 ]
 
 _all_q: dict = {}

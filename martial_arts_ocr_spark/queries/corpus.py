@@ -723,7 +723,133 @@ ORDER BY source, rn
 """
 
 
+# --- the full curation pipeline as ONE declarative plan --------------------------
+
+def q_corpus_keep_set(spark, sf_dir):
+    """The composition a real corpus user runs END-TO-END: per document,
+    the four independent gates — Gopher word-shape rules, the LM
+    perplexity filter (drop bucket rejected), exact-dup survivorship
+    (min-doc_id-per-content-hash wins), and benchmark decontamination
+    (no shared 8-gram with the external probe view) — and the final
+    ``kept`` AND. Declared as one DataFrame plan so Catalyst fuses the
+    three map-only gates into the scan and the two join-shaped gates
+    stay a partial-agg self-group (dedup) and a broadcast semi-join
+    (decontam): at 100 TB the whole pipeline is one pass over the corpus
+    plus two small shuffles — not four jobs with three intermediate
+    materializations, which is how per-step pipelines usually ship.
+
+    Every sub-gate is independently oracle-checked by its own registered
+    query (gopher_quality_flags, lm_perplexity_buckets,
+    dedup_survivors, benchmark_contamination); this query's oracle
+    re-composes the same SQL pieces, so the composition logic itself —
+    join shapes, null handling at the boundaries, the AND — is what the
+    gate verifies here."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    non_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    mwl = non_ws / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
+    )
+    gopher_pass = (
+        (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+        & (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
+        & (alpha_frac >= _GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= _GOPHER_MIN_STOP_HITS)
+    )
+    costs, unk = _lm_model(spark, sf_dir)
+    score = _lm_score_udf(costs, unk)
+    n_bg = F.greatest(F.length("text") - 1, F.lit(0)).cast("bigint")
+    lm_ok = score(F.col("text")) <= n_bg * _LM_DROP_MB   # not 'drop'
+
+    base = d.select(
+        "doc_id", "text",
+        gopher_pass.alias("gopher_pass"),
+        lm_ok.alias("lm_ok"),
+        F.md5("text").alias("content_hash"),
+    )
+    survivors = (
+        base.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    contaminated = (
+        q_benchmark_contamination(spark, sf_dir)
+        .select("doc_id").withColumn("is_contam", F.lit(True))
+    )
+    out = (
+        base.join(survivors, "content_hash")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "lm_ok",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("dup_survivor"),
+            F.col("is_contam").isNull().alias("decontaminated"),
+        )
+    )
+    kept = (F.col("gopher_pass") & F.col("lm_ok") & F.col("dup_survivor")
+            & F.col("decontaminated"))
+    return out.select("*", kept.alias("kept")).orderBy("doc_id")
+
+
+def _oracle_corpus_keep_set() -> str:
+    """Composes the gopher CTE, the baked LM model (via the
+    lm_perplexity oracle builder's model section), the md5 survivor
+    group, and the contamination CTE — the same pieces the per-gate
+    oracles use, re-joined the way the Spark plan joins them."""
+    lm_sql = _oracle_lm_perplexity()
+    # reuse the generated model VALUES + scoring CTEs by re-wrapping the
+    # per-doc scored output: everything up to the final SELECT is the
+    # model + scoring machinery; re-derive lm_ok from its columns
+    return f"""
+WITH lm AS ({lm_sql}),
+t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS ts,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws,
+         md5(text) AS content_hash
+  FROM documents
+),
+g AS (
+  SELECT doc_id, content_hash,
+         (len(ts) >= {_GOPHER_MIN_WORDS} AND len(ts) <= {_GOPHER_MAX_WORDS}
+          AND CAST(non_ws AS DOUBLE) / len(ts) >= {_GOPHER_MIN_MWL}
+          AND CAST(non_ws AS DOUBLE) / len(ts) <= {_GOPHER_MAX_MWL}
+          AND CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
+               AS DOUBLE) / len(ts) >= {_GOPHER_MIN_ALPHA_FRAC}
+          AND len(list_filter(ts, w -> lower(w) IN
+              {str(tuple(_GOPHER_STOPWORDS))})) >= {_GOPHER_MIN_STOP_HITS})
+           AS gopher_pass
+  FROM t
+),
+surv AS (
+  SELECT content_hash, min(doc_id) AS keep_doc_id FROM t GROUP BY 1
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM ({ORACLE_CONTAMINATION.replace("ORDER BY g.doc_id", "")})
+)
+SELECT g.doc_id,
+       g.gopher_pass,
+       (lm.bucket <> 'drop') AS lm_ok,
+       (g.doc_id = s.keep_doc_id) AS dup_survivor,
+       (c.doc_id IS NULL) AS decontaminated,
+       (g.gopher_pass AND lm.bucket <> 'drop'
+        AND g.doc_id = s.keep_doc_id AND c.doc_id IS NULL) AS kept
+FROM g
+JOIN t USING (doc_id)
+JOIN surv s ON s.content_hash = t.content_hash
+JOIN lm ON lm.doc_id = g.doc_id
+LEFT JOIN contam c ON c.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = {
+    "corpus_keep_set": q_corpus_keep_set,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_line_flags": q_gopher_line_flags,
@@ -734,6 +860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_keep_set": _oracle_corpus_keep_set,
     "lm_perplexity_buckets": _oracle_lm_perplexity,
     "gopher_quality_flags": ORACLE_GOPHER,
     "gopher_line_flags": ORACLE_LINE_FLAGS,

@@ -144,3 +144,15 @@ def test_round5_operator_plan_shapes(spark):
     plan = _plan(spark, "incremental_snapshot_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_keep_set_single_pass_shape(spark):
+    """The composed curation pipeline must stay one pass over the corpus:
+    map-only gates fused into the scan, decontamination via broadcast
+    joins, dedup survivorship as an equi join — never a cartesian, and
+    exactly one Arrow UDF stage (the LM scorer)."""
+    plan = _plan(spark, "corpus_keep_set")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plan
