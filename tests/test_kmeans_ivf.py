@@ -235,3 +235,49 @@ def test_recall_curve_monotone_and_saturates(spark):
     assert hits == sorted(hits)
     assert hits[-1] == 5                        # nprobe=32 recovers top-5
     assert n_cand[-1] < 499 * 0.5               # scanning far from all
+
+
+def test_recall_curve_rounding_margins():
+    """The curve's cross-engine determinism rests on round-7 (cluster
+    ranking) and round-5 (final ranking) of IEEE-identical cosines — audit
+    that no unrounded cosine sits near its rounding boundary, same bar as
+    test_rounding_margins (1e-9 • three orders above summation wobble)."""
+    import duckdb
+    import numpy as np
+
+    from martial_arts_ocr_spark.queries import neardup as nd
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM read_parquet("
+        "'/root/testdata/sf0.001/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cents = np.asarray(
+        nd.kmeans_centroids_mirror(X, vec_ids=ids, k=nd._CURVE_K,
+                                   iters=nd._CURVE_ITERS, init="jitter"),
+        dtype=np.float64)
+
+    def seq_dot(A, c):
+        acc = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            acc += A[:, i] * c[i]
+        return acc
+
+    def seq_norm(A):
+        acc = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            acc += A[:, i] * A[:, i]
+        return np.sqrt(acc)
+
+    xn, cn = seq_norm(X), seq_norm(cents)
+    ccos = np.concatenate([
+        seq_dot(X, cents[j]) / (xn * cn[j]) for j in range(nd._CURVE_K)
+    ])
+    qi = ids.index(nd._CURVE_QUERY)
+    qcos = seq_dot(X, X[qi]) / (xn * xn[qi])
+    for vals, ndig in ((ccos, 7), (np.delete(qcos, qi), 5)):
+        frac = np.abs((vals * 10 ** ndig) % 1.0 - 0.5)
+        assert frac.min() >= 1e-9, (ndig, frac.min())
