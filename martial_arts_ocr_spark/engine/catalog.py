@@ -60,9 +60,15 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
     # _trash_<bucket> — without recovery the bucket is INVISIBLE to every
     # reader until the next compact_table call (round-4 ADVICE: persistent
     # data invisibility is worse than the transient empty-bucket window).
-    # Recovery is idempotent and one listdir when there is nothing to do,
-    # so the read path always rolls a crashed swap back/forward first.
-    _recover_compaction(root, table)
+    # The read path runs the NARROW recovery only (restore a missing
+    # bucket from its trash; round-5 review find: the full recovery also
+    # deleted _compact_tmp_/_trash_ dirs, racing a LIVE compaction's
+    # in-flight swap up to committing a partially-deleted generation —
+    # readers must never delete compactor state). The restore itself can
+    # race the compactor's tmp→bucket rename; os.replace onto the
+    # restored non-empty dir then fails LOUDLY on the compactor side with
+    # both generations intact — a retry, never data loss.
+    _recover_compaction(root, table, restore_only=True)
     return spark.read.parquet(table_path(root, table))
 
 
@@ -86,30 +92,55 @@ def _bucket_dirs(root: str, table: str) -> list[str]:
     )
 
 
-def _recover_compaction(root: str, table: str) -> None:
+def _recover_compaction(root: str, table: str,
+                        restore_only: bool = False) -> None:
     """Roll a crashed compaction swap back or forward (idempotent).
 
     For every ``_trash_<bucket>`` left by a crash: if the bucket dir
     exists, the swap completed — drop the trash (roll forward); if not,
     the crash hit between the two renames — restore the trash as the
     bucket (roll back, old generation intact). Stale ``_compact_tmp_``
-    dirs are always safe to drop (their content is re-derivable).
+    dirs are safe to drop (their content is re-derivable).
+
+    ``restore_only`` is the READ-path mode (round-5 review find): it
+    performs ONLY the missing-bucket restore — never deleting tmp or
+    trash dirs, which may belong to a live single-writer compaction that
+    a reader must not race destructively; the full cleanup runs at the
+    next compact_table entry. The restore uses a guarded os.replace: if
+    the compactor commits its new generation concurrently, exactly one
+    rename wins and the loser's failure leaves both generations intact.
+
+    Scratch dirs live OUTSIDE the table directory (``<root>/_trash_
+    <table>_<bucket>`` / ``_compact_tmp_...``) — a second round-5 review
+    consequence: a ``_trash_part_bucket=K`` dir INSIDE the table made
+    Spark's partition discovery raise CONFLICTING_PARTITION_COLUMN_NAMES
+    for every reader while it existed (the ``_`` prefix hides files, not
+    partition-dir parsing), so both the post-commit trash window and a
+    LIVE compaction's tmp dir used to make the whole table unreadable.
     """
     import shutil
 
     tdir = table_path(root, table)
-    if not os.path.isdir(tdir):
+    if not os.path.isdir(tdir) or not os.path.isdir(root):
         return
-    for name in os.listdir(tdir):
-        full = os.path.join(tdir, name)
-        if name.startswith("_compact_tmp_"):
-            shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith("_trash_"):
-            bucket = os.path.join(tdir, name[len("_trash_"):])
+    trash_pre = f"_trash_{table}_"
+    tmp_pre = f"_compact_tmp_{table}_"
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if name.startswith(tmp_pre):
+            if not restore_only:
+                shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(trash_pre):
+            bucket = os.path.join(tdir, name[len(trash_pre):])
             if os.path.isdir(bucket):
-                shutil.rmtree(full)
+                if not restore_only:
+                    shutil.rmtree(full)
             else:
-                os.replace(full, bucket)
+                try:
+                    os.replace(full, bucket)
+                except OSError:
+                    if not restore_only:
+                        raise
 
 
 def compact_table(spark: SparkSession, root: str, table: str,
@@ -128,14 +159,17 @@ def compact_table(spark: SparkSession, root: str, table: str,
     (each an atomic rename), not per-file moves (review-found: the old
     write-new-then-delete-old file loop had a window where a crash left
     PERMANENT duplicate rows that the next compaction baked in): per
-    bucket, the new files land in an ``_``-prefixed tmp dir (invisible to
-    Spark/Hive readers), then old-dir→``_trash_``, tmp→bucket, delete
-    trash. A crash at any point leaves either the old data, the new data,
-    or a trash/bucket state that ``_recover_compaction`` (run on entry)
-    rolls back or forward — never both generations visible at once. A
-    concurrent reader can transiently see an EMPTY bucket between the two
-    renames — real Iceberg makes the swap a metadata snapshot commit;
-    this module is the labeled thin stand-in (see module docstring).
+    bucket, the new files land in a tmp dir OUTSIDE the table directory
+    (round-5 review: an in-table scratch dir named after the partition
+    column broke every concurrent reader's partition discovery), then
+    old-dir→trash (also outside), tmp→bucket, delete trash. A crash at
+    any point leaves either the old data, the new data, or a
+    trash/bucket state that ``_recover_compaction`` (full mode on entry;
+    narrow restore-only mode on every ``read_table``) rolls back or
+    forward — never both generations visible at once. A concurrent
+    reader can transiently see an EMPTY bucket between the two renames —
+    real Iceberg makes the swap a metadata snapshot commit; this module
+    is the labeled thin stand-in (see module docstring).
     """
     import shutil
 
@@ -148,9 +182,12 @@ def compact_table(spark: SparkSession, root: str, table: str,
         if len(old) <= target_files_per_bucket:
             files_after += len(old)
             continue
-        parent, bname = os.path.dirname(bdir), os.path.basename(bdir)
-        tmp = os.path.join(parent, "_compact_tmp_" + bname)
-        trash = os.path.join(parent, "_trash_" + bname)
+        bname = os.path.basename(bdir)
+        # scratch dirs are SIBLINGS of the table dir (see
+        # _recover_compaction: inside it, their names would poison every
+        # concurrent reader's partition discovery)
+        tmp = os.path.join(root, f"_compact_tmp_{table}_{bname}")
+        trash = os.path.join(root, f"_trash_{table}_{bname}")
         shutil.rmtree(tmp, ignore_errors=True)
         (spark.read.parquet(bdir)
          .coalesce(target_files_per_bucket)

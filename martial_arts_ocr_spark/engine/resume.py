@@ -137,11 +137,14 @@ def run_checkpointed(
 
     ``sign_snapshots`` (round-5): additionally append each wave's MinHash
     band keys (url-keyed, over the EXTRACTED text) to the warehouse's
-    ``signatures`` table via engine/sigstore.py — wave-granular snapshot
-    ids (``<run_id>/wave<k>``) give the append the same exactly-once
-    discipline as the checkpoint rows (already-logged waves skip; a crash
-    between sign and checkpoint re-runs the wave, whose byte-identical
-    signature rows collapse in ``sigstore.read_store``). A LATER crawl
+    ``signatures`` table via engine/sigstore.py — snapshot ids derive
+    from the wave's bucket set (``<run_id>/b3-7-9``), which gives the
+    append the same exactly-once discipline as the checkpoint rows:
+    an already-logged bucket set skips (its rows are byte-identical by
+    determinism), a crash between the signature data write and its log
+    entry re-appends the SAME snapshot id whose duplicate rows collapse
+    in ``sigstore.read_store``, and resumed runs (whose wave numbering
+    restarts) get distinct ids for their distinct pending sets. A LATER crawl
     then calls ``sigstore.dedup_new_snapshot`` against this warehouse to
     drop documents already ingested — incremental cross-snapshot dedup as
     a pipeline flow, not just a registered query.
@@ -258,10 +261,19 @@ def _run_waves(spark, bucketed, root, run_id, n_buckets, batch_size,
         try:
             if sign_snapshots:
                 from . import sigstore
+                # snapshot id is derived from the wave's BUCKET SET, not
+                # the restart-relative wave_no (round-5 review find: wave
+                # numbering restarts on resume, so 'run/wave0' of a
+                # resumed run collided with the pre-crash wave 0 and
+                # silently skipped signing the re-run waves). Same bucket
+                # set → same id → the skip IS the exactly-once guarantee
+                # (re-run rows are byte-identical by determinism);
+                # different pending sets after a crash → distinct ids.
+                sig_id = f"{run_id}/b" + "-".join(str(b) for b in wave)
                 sigstore.append_snapshot_signatures(
                     spark, root,
                     extracted.where(F.col("status") == "completed"),
-                    snapshot=f"{run_id}/wave{wave_no}",
+                    snapshot=sig_id,
                     key_col="url", text_col="text",
                 )
             _commit_wave(spark, extracted, root, run_id, wave, wave_no,

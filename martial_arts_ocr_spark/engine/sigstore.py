@@ -21,9 +21,19 @@ catalog.py) — into that flow:
 Scale shape: the store is an append-only table keyed by (band,
 band_key) — at 100 TB it is bucketed on that key so the new snapshot's
 probe is a co-located equi-join; the probe side carries 8 longs per doc
-(the folded band keys), never text. No all-pairs joins anywhere; a
-band-key collision only ever ADDS a candidate, which exact verification
-downstream rejects (the standard banded-MinHash contract).
+(the folded band keys), never text. No all-pairs joins anywhere.
+
+Decision contract (round-5 review correction — be precise about what a
+hit means): the store retains SIGNATURES ONLY, not text, so a
+cross-snapshot hit cannot be exact-verified the way the in-corpus
+operators verify their candidates; flagging is a sketch-level decision.
+Two false-positive sources exist: (a) genuine banded-MinHash agreement
+of merely-similar docs — the intended behavior at the configured
+bands/rows operating point; (b) a raw 64-bit band-key hash collision
+between unrelated docs, probability ~2^-64 per compared pair — at
+10^12-doc scale an operator who cannot tolerate even that sets
+``min_bands=2`` (independent keys → ~2^-128) at a small recall cost for
+borderline near-dups. Both knobs are per-call arguments.
 """
 
 from __future__ import annotations
@@ -73,10 +83,15 @@ def append_snapshot_signatures(
     return True
 
 
-def read_store(spark: SparkSession, root: str) -> DataFrame:
+def read_store(spark: SparkSession, root: str) -> DataFrame | None:
     """The signature store with re-run duplicates collapsed (a crash
     between data write and log write re-appends byte-identical rows —
-    dedup on the full key restores exact content, as read_metrics does)."""
+    dedup on the full key restores exact content, as read_metrics does).
+    Returns None when no snapshot was ever signed (missing-table guard,
+    the read_metrics discipline — round-5 review find: the bare read
+    crashed with PATH_NOT_FOUND on a fresh warehouse)."""
+    if not catalog.table_exists(root, SIGNATURES_TABLE):
+        return None
     df = catalog.read_table(spark, root, SIGNATURES_TABLE)
     return df.dropDuplicates(["snapshot", "doc_key", "band", "band_key"])
 
@@ -84,12 +99,20 @@ def read_store(spark: SparkSession, root: str) -> DataFrame:
 def dedup_new_snapshot(
     spark: SparkSession, root: str, docs: DataFrame,
     key_col: str = "doc_id", text_col: str = "text",
+    min_bands: int = 1,
 ) -> DataFrame:
     """New snapshot rows annotated against history: adds
     ``n_store_bands`` (distinct bands shared with the store) and
-    ``dup_vs_store`` (any band shared). Survivors = NOT dup_vs_store;
-    in-snapshot dedup runs after, on survivors only."""
-    store = read_store(spark, root).select("band", "band_key").distinct()
+    ``dup_vs_store`` (≥ ``min_bands`` bands shared — see the module
+    docstring's decision contract for the FP analysis behind the knob).
+    Survivors = NOT dup_vs_store; in-snapshot dedup runs after, on
+    survivors only. An empty/never-signed store marks everything new."""
+    store_full = read_store(spark, root)
+    if store_full is None:
+        return (docs
+                .withColumn("n_store_bands", F.lit(0).cast("bigint"))
+                .withColumn("dup_vs_store", F.lit(False)))
+    store = store_full.select("band", "band_key").distinct()
     keys = band_keys(docs, key_col, text_col)
     hits = (
         keys.join(store, ["band", "band_key"])
@@ -100,5 +123,5 @@ def dedup_new_snapshot(
         docs.join(hits, key_col, "left")
         .withColumn("n_store_bands",
                     F.coalesce("n_store_bands", F.lit(0)).cast("bigint"))
-        .withColumn("dup_vs_store", F.col("n_store_bands") > 0)
+        .withColumn("dup_vs_store", F.col("n_store_bands") >= min_bands)
     )

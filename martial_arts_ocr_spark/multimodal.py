@@ -288,10 +288,17 @@ def media_feature_batch(iterator):
                 row = (None, str(mtype) if mtype is not None else "",
                        0, "", False, None)
             out.append(row)
-        yield pd.DataFrame(
+        pdf_out = pd.DataFrame(
             out, columns=["media_id", "media_type", "n_bytes",
                           "content_hash", "decode_ok", "features"],
         )
+        # nullable Int64, NOT inferred float64: a single None in the batch
+        # would otherwise coerce the whole media_id column to float and
+        # silently corrupt valid ids >= 2^53 (round-5 review find — the
+        # old int sentinel kept the column int64 by accident)
+        pdf_out["media_id"] = pd.array(
+            [r[0] for r in out], dtype="Int64")
+        yield pdf_out
 
 
 def extract_media_features(media: DataFrame,

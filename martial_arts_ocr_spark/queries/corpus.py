@@ -47,13 +47,17 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def q_gopher_quality_flags(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+def gopher_flag_exprs(text=None) -> dict:
+    """The word-shape Gopher gate as named Column expressions — the ONE
+    Spark-side definition (round-5 review: q_corpus_keep_set had grown a
+    verbatim copy; a future threshold/tokenization tweak would have
+    silently forked the two gates). Mean word length = non-whitespace
+    chars / words (exact, no rounding: only derived booleans are
+    emitted)."""
+    text = F.col("text") if text is None else text
+    toks = F.split(F.trim(text), r"\s+")
     n_words = F.size(toks)
-    # mean word length = non-whitespace chars / words (exact, no rounding:
-    # only the derived booleans are emitted)
-    non_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    non_ws = F.length(F.regexp_replace(text, r"\s+", ""))
     mwl = non_ws / n_words
     alpha_frac = (
         F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words
@@ -61,24 +65,58 @@ def q_gopher_quality_flags(spark, sf_dir):
     stop_hits = F.size(
         F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
     )
-    flags = {
+    return {
         "words_ok": (n_words >= _GOPHER_MIN_WORDS)
         & (n_words <= _GOPHER_MAX_WORDS),
         "mwl_ok": (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL),
         "alpha_ok": alpha_frac >= _GOPHER_MIN_ALPHA_FRAC,
         "stopwords_ok": stop_hits >= _GOPHER_MIN_STOP_HITS,
     }
-    passed = flags["words_ok"] & flags["mwl_ok"] & flags["alpha_ok"] \
-        & flags["stopwords_ok"]
+
+
+def gopher_pass_expr(text=None):
+    flags = gopher_flag_exprs(text)
+    return (flags["words_ok"] & flags["mwl_ok"] & flags["alpha_ok"]
+            & flags["stopwords_ok"])
+
+
+def gopher_flag_sql(ts: str = "ts", non_ws: str = "non_ws") -> dict:
+    """The same gate in DuckDB SQL over a token-array column ``ts`` and a
+    non-whitespace-length column ``non_ws`` — the ONE SQL-side
+    definition, composed by both ORACLE_GOPHER and the keep-set oracle."""
+    mwl = f"(CAST({non_ws} AS DOUBLE) / len({ts}))"
+    alpha = (f"(CAST(len(list_filter({ts}, w -> regexp_matches(w, "
+             f"'[A-Za-z]'))) AS DOUBLE) / len({ts}))")
+    stop = (f"len(list_filter({ts}, w -> lower(w) IN "
+            f"{str(tuple(_GOPHER_STOPWORDS))}))")
+    return {
+        "words_ok": f"(len({ts}) >= {_GOPHER_MIN_WORDS} "
+                    f"AND len({ts}) <= {_GOPHER_MAX_WORDS})",
+        "mwl_ok": f"({mwl} >= {_GOPHER_MIN_MWL} "
+                  f"AND {mwl} <= {_GOPHER_MAX_MWL})",
+        "alpha_ok": f"({alpha} >= {_GOPHER_MIN_ALPHA_FRAC})",
+        "stopwords_ok": f"({stop} >= {_GOPHER_MIN_STOP_HITS})",
+    }
+
+
+def gopher_pass_sql(ts: str = "ts", non_ws: str = "non_ws") -> str:
+    return "(" + " AND ".join(gopher_flag_sql(ts, non_ws).values()) + ")"
+
+
+def q_gopher_quality_flags(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    flags = gopher_flag_exprs()
     return (
         d.select(
             "doc_id",
             *[v.alias(k) for k, v in flags.items()],
-            passed.alias("gopher_pass"),
+            gopher_pass_expr().alias("gopher_pass"),
         )
         .orderBy("doc_id")
     )
 
+
+_F_SQL = gopher_flag_sql()
 
 ORACLE_GOPHER = f"""
 WITH t AS (
@@ -86,28 +124,14 @@ WITH t AS (
          regexp_split_to_array(trim(text), '\\s+') AS ts,
          length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws
   FROM documents
-),
-f AS (
-  SELECT doc_id,
-         len(ts) AS n_words,
-         CAST(non_ws AS DOUBLE) / len(ts) AS mwl,
-         CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
-              AS DOUBLE) / len(ts) AS alpha_frac,
-         len(list_filter(ts, w -> lower(w) IN
-             {str(tuple(_GOPHER_STOPWORDS))})) AS stop_hits
-  FROM t
 )
 SELECT doc_id,
-       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
-         AS words_ok,
-       (mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL}) AS mwl_ok,
-       (alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}) AS alpha_ok,
-       (stop_hits >= {_GOPHER_MIN_STOP_HITS}) AS stopwords_ok,
-       ((n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
-        AND (mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL})
-        AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
-        AND stop_hits >= {_GOPHER_MIN_STOP_HITS}) AS gopher_pass
-FROM f ORDER BY doc_id
+       {_F_SQL["words_ok"]} AS words_ok,
+       {_F_SQL["mwl_ok"]} AS mwl_ok,
+       {_F_SQL["alpha_ok"]} AS alpha_ok,
+       {_F_SQL["stopwords_ok"]} AS stopwords_ok,
+       {gopher_pass_sql()} AS gopher_pass
+FROM t ORDER BY doc_id
 """
 
 
@@ -745,22 +769,7 @@ def q_corpus_keep_set(spark, sf_dir):
     join shapes, null handling at the boundaries, the AND — is what the
     gate verifies here."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_words = F.size(toks)
-    non_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
-    mwl = non_ws / n_words
-    alpha_frac = (
-        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
-    )
-    gopher_pass = (
-        (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
-        & (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
-        & (alpha_frac >= _GOPHER_MIN_ALPHA_FRAC)
-        & (stop_hits >= _GOPHER_MIN_STOP_HITS)
-    )
+    gopher_pass = gopher_pass_expr()     # the shared gate definition
     costs, unk = _lm_model(spark, sf_dir)
     score = _lm_score_udf(costs, unk)
     n_bg = F.greatest(F.length("text") - 1, F.lit(0)).cast("bigint")
@@ -816,14 +825,7 @@ t AS (
 ),
 g AS (
   SELECT doc_id, content_hash,
-         (len(ts) >= {_GOPHER_MIN_WORDS} AND len(ts) <= {_GOPHER_MAX_WORDS}
-          AND CAST(non_ws AS DOUBLE) / len(ts) >= {_GOPHER_MIN_MWL}
-          AND CAST(non_ws AS DOUBLE) / len(ts) <= {_GOPHER_MAX_MWL}
-          AND CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
-               AS DOUBLE) / len(ts) >= {_GOPHER_MIN_ALPHA_FRAC}
-          AND len(list_filter(ts, w -> lower(w) IN
-              {str(tuple(_GOPHER_STOPWORDS))})) >= {_GOPHER_MIN_STOP_HITS})
-           AS gopher_pass
+         {gopher_pass_sql()} AS gopher_pass
   FROM t
 ),
 surv AS (

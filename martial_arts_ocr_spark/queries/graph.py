@@ -69,6 +69,36 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _free_reliable_checkpoint(df: DataFrame) -> None:
+    """Best-effort deletion of a reliable checkpoint()'s FILES (round-5
+    review find: the reliable path wrote one file set per materialization
+    per round with nothing deleting them —
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults false,
+    so a long job's checkpoint dir grew O(rounds·|labels|)). Resolves the
+    checkpointed RDD's file path through the analyzed LogicalRDD and
+    removes it via the JVM Hadoop FileSystem; guarded like its local
+    sibling."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return
+        rdd = plan.rdd()
+        opt = rdd.getCheckpointFile()
+        if not opt.isDefined():
+            return
+        jvm = df.sparkSession._jvm
+        jsc = df.sparkSession._jsc
+        path = jvm.org.apache.hadoop.fs.Path(opt.get())
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:
+        pass
+
+
+def _free_checkpoint(df: DataFrame, reliable: bool) -> None:
+    (_free_reliable_checkpoint if reliable else _free_local_checkpoint)(df)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
                          reliable: bool = False) -> DataFrame:
     """(src, dst) undirected edge list -> (doc, lbl) min-label components.
@@ -127,9 +157,11 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
             .count()
         )
         # the convergence count was the last reader of this round's prop
-        # and of the previous round's labels — free their checkpoint blocks
-        _free_local_checkpoint(prop)
-        _free_local_checkpoint(labels)
+        # and of the previous round's labels — free their checkpoint
+        # storage (block-manager blocks, or checkpoint FILES in reliable
+        # mode — the round-5 leak fix)
+        _free_checkpoint(prop, reliable)
+        _free_checkpoint(labels, reliable)
         labels = jumped
         if changed == 0:
             break

@@ -68,22 +68,22 @@ def test_compaction_crash_recovery(spark, tmp_path):
     buckets = sorted(d for d in os.listdir(tdir)
                      if d.startswith("part_bucket="))
 
-    # window A: old generation moved out, new never moved in
+    # window A: old generation moved out, new never moved in (scratch
+    # dirs live at the ROOT level, outside the table dir — round-5)
+    t = resume.EXTRACTED_TABLE
     b0 = os.path.join(tdir, buckets[0])
-    os.replace(b0, os.path.join(tdir, "_trash_" + buckets[0]))
+    os.replace(b0, os.path.join(root, f"_trash_{t}_" + buckets[0]))
     assert not os.path.isdir(b0)
-    catalog.compact_table(spark, root, resume.EXTRACTED_TABLE,
-                          target_files_per_bucket=1)
-    assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
+    catalog.compact_table(spark, root, t, target_files_per_bucket=1)
+    assert _rows(spark, root, t) == rows
 
     # window B: new generation in place, old still in trash
     b1 = os.path.join(tdir, buckets[1])
-    shutil.copytree(b1, os.path.join(tdir, "_trash_" + buckets[1]))
-    catalog.compact_table(spark, root, resume.EXTRACTED_TABLE,
-                          target_files_per_bucket=1)
-    assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
+    shutil.copytree(b1, os.path.join(root, f"_trash_{t}_" + buckets[1]))
+    catalog.compact_table(spark, root, t, target_files_per_bucket=1)
+    assert _rows(spark, root, t) == rows
     assert not any(d.startswith(("_trash_", "_compact_tmp_"))
-                   for d in os.listdir(tdir))
+                   for d in os.listdir(root))
 
 
 def test_read_path_recovers_crashed_swap(spark, tmp_path):
@@ -102,6 +102,53 @@ def test_read_path_recovers_crashed_swap(spark, tmp_path):
     buckets = sorted(d for d in os.listdir(tdir)
                      if d.startswith("part_bucket="))
     b0 = os.path.join(tdir, buckets[0])
-    os.replace(b0, os.path.join(tdir, "_trash_" + buckets[0]))
+    os.replace(b0, os.path.join(
+        root, f"_trash_{resume.EXTRACTED_TABLE}_" + buckets[0]))
     assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
     assert os.path.isdir(b0)        # rolled back in place by the read
+
+
+def test_read_path_recovery_never_deletes_compactor_state(spark, tmp_path):
+    """Round-5 review find: the read path used to run the FULL recovery,
+    deleting _compact_tmp_/_trash_ dirs that may belong to a LIVE
+    compaction. The read path now only restores a missing bucket; it
+    must leave tmp dirs and post-commit trash untouched (the writer's
+    entry-time recovery owns those)."""
+    import shutil
+
+    root = str(tmp_path / "wh")
+    pages = with_host(spark.createDataFrame(pages_pandas(60)))
+    resume.run_checkpointed(spark, pages, root, run_id="rp",
+                            n_buckets=4, batch_size=2)
+    rows = _rows(spark, root, resume.EXTRACTED_TABLE)
+    tdir = catalog.table_path(root, resume.EXTRACTED_TABLE)
+    buckets = sorted(d for d in os.listdir(tdir)
+                     if d.startswith("part_bucket="))
+
+    # window A (bucket out, live compactor tmp present): restore bucket,
+    # keep the tmp dir (scratch dirs are root-level siblings — round-5:
+    # in-table scratch names broke readers' partition discovery outright)
+    t = resume.EXTRACTED_TABLE
+    b0 = os.path.join(tdir, buckets[0])
+    tmp0 = os.path.join(root, f"_compact_tmp_{t}_" + buckets[0])
+    os.makedirs(tmp0)
+    os.replace(b0, os.path.join(root, f"_trash_{t}_" + buckets[0]))
+    assert _rows(spark, root, t) == rows
+    assert os.path.isdir(b0)
+    assert os.path.isdir(tmp0), "reader deleted live compactor tmp"
+
+    # window B (swap committed, trash not yet dropped): reader leaves
+    # the trash for the writer — and the table stays READABLE while the
+    # trash exists (the old in-table trash made partition discovery
+    # throw CONFLICTING_PARTITION_COLUMN_NAMES)
+    b1 = os.path.join(tdir, buckets[1])
+    trash1 = os.path.join(root, f"_trash_{t}_" + buckets[1])
+    shutil.copytree(b1, trash1)
+    assert _rows(spark, root, t) == rows
+    assert os.path.isdir(trash1), "reader deleted post-commit trash"
+
+    # the writer's entry recovery still cleans everything up
+    catalog.compact_table(spark, root, t, target_files_per_bucket=1)
+    assert not any(d.startswith(("_trash_", "_compact_tmp_"))
+                   for d in os.listdir(root))
+    assert _rows(spark, root, t) == rows

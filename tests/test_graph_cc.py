@@ -66,9 +66,18 @@ def test_reliable_checkpoint_mode_same_labels(spark, tmp_path):
     local = {(r.doc, r.lbl)
              for r in connected_components(und).collect()}
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    rel = {(r.doc, r.lbl)
-           for r in connected_components(und, reliable=True).collect()}
+    rel_df = connected_components(und, reliable=True)
+    rel = {(r.doc, r.lbl) for r in rel_df.collect()}
     assert rel == local
+    # round-5 review find: the reliable path leaked one checkpoint file
+    # set per materialization per round; all but the FINAL labels must be
+    # deleted (2 materializations/round x ~6 rounds would otherwise
+    # remain)
+    import os
+    rdd_dirs = [os.path.join(dp, d)
+                for dp, dns, _ in os.walk(str(tmp_path / "ckpt"))
+                for d in dns if d.startswith("rdd-")]
+    assert len(rdd_dirs) <= 1, rdd_dirs
     # every chain node labeled 0, the island pair 100, the loner 200
     assert all(lbl == 0 for d, lbl in rel if d <= n)
     assert {lbl for d, lbl in rel if d in (100, 101)} == {100}

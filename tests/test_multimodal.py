@@ -213,3 +213,31 @@ def test_null_media_id_flags_row_not_task(spark):
     from martial_arts_ocr_spark.multimodal import extract_media_features
     rows = extract_media_features(df).collect()
     assert sorted(r.media_id is None for r in rows) == [False, True, True]
+
+
+def test_null_in_batch_does_not_float_corrupt_big_ids(spark):
+    """Round-5 review find: a None media_id in a batch made pandas infer
+    float64 for the whole column, silently corrupting valid ids >= 2^53
+    (9007199254740993 became ...992.0). The output column is now nullable
+    Int64 end-to-end."""
+    import pandas as pd
+
+    from martial_arts_ocr_spark.multimodal import media_feature_batch
+
+    big = 9007199254740993            # 2^53 + 1: not float64-representable
+    pdf = pd.DataFrame({
+        "media_id": pd.array([big, None], dtype="Int64"),
+        "media_type": ["image", "image"],
+        "content": [b"", None],
+    })
+    out = pd.concat(list(media_feature_batch(iter([pdf]))))
+    assert out["media_id"].dtype.name == "Int64"
+    assert out["media_id"].iloc[0] == big
+    assert pd.isna(out["media_id"].iloc[1])
+    # and through Spark/Arrow end-to-end
+    from martial_arts_ocr_spark.multimodal import extract_media_features
+    df = spark.createDataFrame(
+        [(big, "image", bytearray(b"x")), (None, "image", None)],
+        "media_id long, media_type string, content binary")
+    got = {r.media_id for r in extract_media_features(df).collect()}
+    assert big in got and None in got

@@ -97,7 +97,7 @@ def test_checkpointed_run_signs_waves_and_next_crawl_dedups(spark, tmp_path):
     store = sigstore.read_store(spark, root)
     assert store.count() > 0
     snaps = sigstore.appended_snapshots(root)
-    assert snaps and all(s.startswith("crawl1/wave") for s in snaps)
+    assert snaps and all(s.startswith("crawl1/b") for s in snaps)
     # exactly-once: a resume re-invocation adds no waves and no rows
     n0 = store.count()
     run_checkpointed(spark, pages, root, run_id="crawl1", n_buckets=4,
@@ -120,3 +120,63 @@ def test_checkpointed_run_signs_waves_and_next_crawl_dedups(spark, tmp_path):
     assert refetched <= flagged
     new_urls = {r.url for r in out.collect()} - refetched
     assert new_urls - flagged, "fresh pages should survive"
+
+
+def test_fresh_warehouse_dedup_marks_all_new(spark, tmp_path):
+    """Round-5 review find: deduping against a warehouse where nothing
+    was ever signed crashed with PATH_NOT_FOUND; it must mark every doc
+    new instead (the read_metrics empty-table discipline)."""
+    root = str(tmp_path / "empty_wh")
+    out = sigstore.dedup_new_snapshot(spark, root, _frame(spark, SNAP2))
+    assert sigstore.read_store(spark, root) is None
+    rows = out.collect()
+    assert all(not r.dup_vs_store and r.n_store_bands == 0 for r in rows)
+    assert len(rows) == len(SNAP2)
+
+
+def test_min_bands_knob_requires_stronger_evidence(spark, tmp_path):
+    """min_bands=2 (the 2^-128 collision operating point) keeps verbatim
+    copies flagged (8 shared bands) while releasing the near-copy that
+    shares fewer than 2 bands... or keeps it if it shares >= 2 — assert
+    against the doc's actual measured band overlap either way."""
+    root = str(tmp_path / "wh")
+    sigstore.append_snapshot_signatures(spark, root, _frame(spark, SNAP1), "s1")
+    out = {r.doc_id: r for r in sigstore.dedup_new_snapshot(
+        spark, root, _frame(spark, SNAP2), min_bands=2).collect()}
+    assert out[101].dup_vs_store              # verbatim: all 8 bands
+    assert not out[102].dup_vs_store
+    assert out[103].dup_vs_store == (out[103].n_store_bands >= 2)
+
+
+def test_signing_survives_crash_and_resume(spark, tmp_path):
+    """Round-5 review find: snapshot ids were restart-relative wave
+    numbers, so a crash+resume collided with the pre-crash wave 0 and
+    silently skipped signing the re-run waves. Bucket-derived ids must
+    sign EVERY document across the crash boundary."""
+    from martial_arts_ocr_spark.engine.job import with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whC")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="c", n_buckets=8,
+                         batch_size=2, sign_snapshots=True,
+                         fail_after_waves=1)
+    n_after_crash = sigstore.read_store(spark, root).count()
+    assert n_after_crash > 0
+    run_checkpointed(spark, pages, root, run_id="c", n_buckets=8,
+                     batch_size=2, sign_snapshots=True)
+    store = sigstore.read_store(spark, root)
+    assert store.count() > n_after_crash
+    # EVERY completed url is signed: re-fetching the same crawl flags all
+    out = sigstore.dedup_new_snapshot(
+        spark, root,
+        spark.read.parquet(
+            f"{root}/extracted").where("status = 'completed'"),
+        key_col="url", text_col="text")
+    assert out.where("NOT dup_vs_store").count() == 0
+    # distinct ids per bucket set, none wave-numbered
+    snaps = sigstore.appended_snapshots(root)
+    assert all("/b" in s for s in snaps), snaps
