@@ -92,6 +92,12 @@ def _bucket_dirs(root: str, table: str) -> list[str]:
     )
 
 
+def _scratch_dir(root: str, table: str) -> str:
+    """Per-table compaction scratch area, outside every table directory
+    (``_``-prefixed so a scan of root ignores it)."""
+    return os.path.join(root, "_compact_scratch", table)
+
+
 def _recover_compaction(root: str, table: str,
                         restore_only: bool = False) -> None:
     """Roll a crashed compaction swap back or forward (idempotent).
@@ -110,36 +116,45 @@ def _recover_compaction(root: str, table: str,
     the compactor commits its new generation concurrently, exactly one
     rename wins and the loser's failure leaves both generations intact.
 
-    Scratch dirs live OUTSIDE the table directory (``<root>/_trash_
-    <table>_<bucket>`` / ``_compact_tmp_...``) — a second round-5 review
-    consequence: a ``_trash_part_bucket=K`` dir INSIDE the table made
-    Spark's partition discovery raise CONFLICTING_PARTITION_COLUMN_NAMES
-    for every reader while it existed (the ``_`` prefix hides files, not
-    partition-dir parsing), so both the post-commit trash window and a
-    LIVE compaction's tmp dir used to make the whole table unreadable.
+    Scratch dirs live OUTSIDE the table directory, under a PER-TABLE
+    subdir (``<root>/_compact_scratch/<table>/{trash,tmp}_<bucket>``) —
+    two round-5 review consequences folded in: (a) a
+    ``_trash_part_bucket=K`` dir INSIDE the table made Spark's partition
+    discovery raise CONFLICTING_PARTITION_COLUMN_NAMES for every reader
+    while it existed (the ``_`` prefix hides files, not partition-dir
+    parsing), so both the post-commit trash window and a LIVE
+    compaction's tmp dir used to make the whole table unreadable; (b) a
+    root-level string-prefix naming scheme mis-attributed scratch dirs
+    whenever one table name + '_' prefixed another's (``extracted`` vs a
+    future ``extracted_v2``) — the subdir makes ownership structural.
     """
+    import errno
     import shutil
 
     tdir = table_path(root, table)
-    if not os.path.isdir(tdir) or not os.path.isdir(root):
+    sdir = _scratch_dir(root, table)
+    if not os.path.isdir(tdir) or not os.path.isdir(sdir):
         return
-    trash_pre = f"_trash_{table}_"
-    tmp_pre = f"_compact_tmp_{table}_"
-    for name in os.listdir(root):
-        full = os.path.join(root, name)
-        if name.startswith(tmp_pre):
+    for name in os.listdir(sdir):
+        full = os.path.join(sdir, name)
+        if name.startswith("tmp_"):
             if not restore_only:
                 shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith(trash_pre):
-            bucket = os.path.join(tdir, name[len(trash_pre):])
+        elif name.startswith("trash_"):
+            bucket = os.path.join(tdir, name[len("trash_"):])
             if os.path.isdir(bucket):
                 if not restore_only:
                     shutil.rmtree(full)
             else:
                 try:
                     os.replace(full, bucket)
-                except OSError:
-                    if not restore_only:
+                except OSError as e:
+                    # on the read path, suppress ONLY the expected
+                    # lost-the-race errnos; a genuine failure (EXDEV,
+                    # EACCES, EIO) must surface, not silently serve a
+                    # table missing a bucket (round-5 second-pass find)
+                    if not restore_only or e.errno not in (
+                            errno.ENOENT, errno.ENOTEMPTY, errno.EEXIST):
                         raise
 
 
@@ -183,11 +198,13 @@ def compact_table(spark: SparkSession, root: str, table: str,
             files_after += len(old)
             continue
         bname = os.path.basename(bdir)
-        # scratch dirs are SIBLINGS of the table dir (see
-        # _recover_compaction: inside it, their names would poison every
-        # concurrent reader's partition discovery)
-        tmp = os.path.join(root, f"_compact_tmp_{table}_{bname}")
-        trash = os.path.join(root, f"_trash_{table}_{bname}")
+        # scratch dirs live in the per-table scratch area (see
+        # _recover_compaction: inside the table dir, their names would
+        # poison every concurrent reader's partition discovery)
+        sdir = _scratch_dir(root, table)
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, f"tmp_{bname}")
+        trash = os.path.join(sdir, f"trash_{bname}")
         shutil.rmtree(tmp, ignore_errors=True)
         (spark.read.parquet(bdir)
          .coalesce(target_files_per_bucket)

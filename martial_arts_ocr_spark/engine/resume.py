@@ -88,12 +88,19 @@ def completed_buckets(spark: SparkSession, root: str, run_id: str) -> set[int]:
 
 
 def _pin_run_config(root: str, run_id: str, hot_hosts: list[str] | None,
-                    n_buckets: int) -> tuple[list[str] | None, int]:
-    """Persist (hot_hosts, n_buckets) on first run; reload on resume.
+                    n_buckets: int, batch_size: int
+                    ) -> tuple[list[str] | None, int, int]:
+    """Persist (hot_hosts, n_buckets, batch_size) on first run; reload on
+    resume.
 
-    Bucket assignment depends on both — a resume that re-derived a
-    different hot-host list would shift keys and double-process documents,
-    so the first run's partitioning config is authoritative for its run_id.
+    Bucket assignment depends on the first two — a resume that re-derived
+    a different hot-host list would shift keys and double-process
+    documents — and wave COMPOSITION depends on batch_size: the signature
+    store's exactly-once snapshot ids derive from each wave's bucket set
+    (round-5 second-pass review find: resuming with a different
+    batch_size regrouped pending buckets into fresh ids and re-signed
+    already-signed buckets under ids read_store's dedup cannot collapse).
+    The first run's config is authoritative for its run_id.
     """
     import json
     import os
@@ -102,13 +109,16 @@ def _pin_run_config(root: str, run_id: str, hot_hosts: list[str] | None,
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             cfg = json.load(f)
-        return cfg["hot_hosts"], cfg["n_buckets"]
+        # pre-round-5 pin files lack batch_size; fall back to the caller's
+        return (cfg["hot_hosts"], cfg["n_buckets"],
+                cfg.get("batch_size", batch_size))
     os.makedirs(root, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"hot_hosts": hot_hosts, "n_buckets": n_buckets}, f)
+        json.dump({"hot_hosts": hot_hosts, "n_buckets": n_buckets,
+                   "batch_size": batch_size}, f)
     os.replace(tmp, path)
-    return hot_hosts, n_buckets
+    return hot_hosts, n_buckets, batch_size
 
 
 def run_checkpointed(
@@ -181,7 +191,8 @@ def run_checkpointed(
             if name.startswith("_tmp_wave_"):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
-    hot_hosts, n_buckets = _pin_run_config(root, run_id, hot_hosts, n_buckets)
+    hot_hosts, n_buckets, batch_size = _pin_run_config(
+        root, run_id, hot_hosts, n_buckets, batch_size)
     bucketed = _bucketed(pages, n_buckets, hot_hosts).persist()
     try:
         return _run_waves(spark, bucketed, root, run_id, n_buckets,

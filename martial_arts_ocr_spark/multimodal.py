@@ -43,6 +43,17 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("features", T.ArrayType(T.FloatType()), True),
 ])
 
+# the UDF-internal schema carries media_id as a STRING: Spark's
+# Arrow→pandas conversion of a nullable long column coerces to float64
+# whenever a null shares the batch, silently corrupting ids ≥ 2^53
+# BEFORE user code runs (round-5 second-pass review find, confirmed by
+# repro) — strings round-trip losslessly and extract_media_features
+# casts back to long at the boundary
+_FEATURE_SCHEMA_RAW = T.StructType(
+    [T.StructField("media_id", T.StringType(), True)]
+    + FEATURE_SCHEMA.fields[1:]
+)
+
 
 # --- real codec: binary PPM (P6) — pure stdlib + numpy ---------------------------
 #
@@ -277,7 +288,11 @@ def media_feature_batch(iterator):
                     ok, feats = dec["decode_ok"], dec["features"]
                 except Exception:
                     ok, feats = False, None
-                row = (int(mid), str(mtype), len(raw),
+                # media_id rides as the STRING it arrived as (see
+                # _FEATURE_SCHEMA_RAW: the long→float64 Arrow/pandas
+                # coercion corrupts ≥2^53 ids before this code runs);
+                # str(int(...)) both validates and canonicalizes it
+                row = (str(int(mid)), str(mtype), len(raw),
                        dg.hex() if dg else "", ok, feats)
             except Exception:
                 # NULL media_id, not a shared -1 sentinel: multiple bad
@@ -288,27 +303,29 @@ def media_feature_batch(iterator):
                 row = (None, str(mtype) if mtype is not None else "",
                        0, "", False, None)
             out.append(row)
-        pdf_out = pd.DataFrame(
+        yield pd.DataFrame(
             out, columns=["media_id", "media_type", "n_bytes",
                           "content_hash", "decode_ok", "features"],
         )
-        # nullable Int64, NOT inferred float64: a single None in the batch
-        # would otherwise coerce the whole media_id column to float and
-        # silently corrupt valid ids >= 2^53 (round-5 review find — the
-        # old int sentinel kept the column int64 by accident)
-        pdf_out["media_id"] = pd.array(
-            [r[0] for r in out], dtype="Int64")
-        yield pdf_out
 
 
 def extract_media_features(media: DataFrame,
                            num_partitions: int | None = None) -> DataFrame:
     """media table → feature table; binary column dropped in the output
-    (same pruning discipline as the html column in the extraction job)."""
-    df = media.select("media_id", "media_type", "content")
+    (same pruning discipline as the html column in the extraction job).
+
+    media_id crosses the UDF boundary as a STRING both ways (cast here,
+    cast back below): Spark's Arrow→pandas conversion would otherwise
+    hand the worker a float64 column whenever a null id shares a batch,
+    corrupting valid ids ≥ 2^53 before user code could intervene."""
+    df = media.select(
+        F.col("media_id").cast("string").alias("media_id"),
+        "media_type", "content",
+    )
     if num_partitions:
         df = df.repartition(num_partitions, F.col("media_id"))
-    return df.mapInPandas(media_feature_batch, schema=FEATURE_SCHEMA)
+    out = df.mapInPandas(media_feature_batch, schema=_FEATURE_SCHEMA_RAW)
+    return out.withColumn("media_id", F.col("media_id").cast("long"))
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

@@ -69,21 +69,22 @@ def test_compaction_crash_recovery(spark, tmp_path):
                      if d.startswith("part_bucket="))
 
     # window A: old generation moved out, new never moved in (scratch
-    # dirs live at the ROOT level, outside the table dir — round-5)
+    # dirs live in the per-table scratch area, outside the table dir)
     t = resume.EXTRACTED_TABLE
+    sdir = catalog._scratch_dir(root, t)
+    os.makedirs(sdir, exist_ok=True)
     b0 = os.path.join(tdir, buckets[0])
-    os.replace(b0, os.path.join(root, f"_trash_{t}_" + buckets[0]))
+    os.replace(b0, os.path.join(sdir, "trash_" + buckets[0]))
     assert not os.path.isdir(b0)
     catalog.compact_table(spark, root, t, target_files_per_bucket=1)
     assert _rows(spark, root, t) == rows
 
     # window B: new generation in place, old still in trash
     b1 = os.path.join(tdir, buckets[1])
-    shutil.copytree(b1, os.path.join(root, f"_trash_{t}_" + buckets[1]))
+    shutil.copytree(b1, os.path.join(sdir, "trash_" + buckets[1]))
     catalog.compact_table(spark, root, t, target_files_per_bucket=1)
     assert _rows(spark, root, t) == rows
-    assert not any(d.startswith(("_trash_", "_compact_tmp_"))
-                   for d in os.listdir(root))
+    assert not os.listdir(sdir)
 
 
 def test_read_path_recovers_crashed_swap(spark, tmp_path):
@@ -101,9 +102,10 @@ def test_read_path_recovers_crashed_swap(spark, tmp_path):
     tdir = catalog.table_path(root, resume.EXTRACTED_TABLE)
     buckets = sorted(d for d in os.listdir(tdir)
                      if d.startswith("part_bucket="))
+    sdir = catalog._scratch_dir(root, resume.EXTRACTED_TABLE)
+    os.makedirs(sdir, exist_ok=True)
     b0 = os.path.join(tdir, buckets[0])
-    os.replace(b0, os.path.join(
-        root, f"_trash_{resume.EXTRACTED_TABLE}_" + buckets[0]))
+    os.replace(b0, os.path.join(sdir, "trash_" + buckets[0]))
     assert _rows(spark, root, resume.EXTRACTED_TABLE) == rows
     assert os.path.isdir(b0)        # rolled back in place by the read
 
@@ -129,10 +131,11 @@ def test_read_path_recovery_never_deletes_compactor_state(spark, tmp_path):
     # keep the tmp dir (scratch dirs are root-level siblings — round-5:
     # in-table scratch names broke readers' partition discovery outright)
     t = resume.EXTRACTED_TABLE
+    sdir = catalog._scratch_dir(root, t)
     b0 = os.path.join(tdir, buckets[0])
-    tmp0 = os.path.join(root, f"_compact_tmp_{t}_" + buckets[0])
+    tmp0 = os.path.join(sdir, "tmp_" + buckets[0])
     os.makedirs(tmp0)
-    os.replace(b0, os.path.join(root, f"_trash_{t}_" + buckets[0]))
+    os.replace(b0, os.path.join(sdir, "trash_" + buckets[0]))
     assert _rows(spark, root, t) == rows
     assert os.path.isdir(b0)
     assert os.path.isdir(tmp0), "reader deleted live compactor tmp"
@@ -142,13 +145,12 @@ def test_read_path_recovery_never_deletes_compactor_state(spark, tmp_path):
     # trash exists (the old in-table trash made partition discovery
     # throw CONFLICTING_PARTITION_COLUMN_NAMES)
     b1 = os.path.join(tdir, buckets[1])
-    trash1 = os.path.join(root, f"_trash_{t}_" + buckets[1])
+    trash1 = os.path.join(sdir, "trash_" + buckets[1])
     shutil.copytree(b1, trash1)
     assert _rows(spark, root, t) == rows
     assert os.path.isdir(trash1), "reader deleted post-commit trash"
 
     # the writer's entry recovery still cleans everything up
     catalog.compact_table(spark, root, t, target_files_per_bucket=1)
-    assert not any(d.startswith(("_trash_", "_compact_tmp_"))
-                   for d in os.listdir(root))
+    assert not os.listdir(sdir)
     assert _rows(spark, root, t) == rows

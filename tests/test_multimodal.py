@@ -205,7 +205,8 @@ def test_null_media_id_flags_row_not_task(spark):
     })
     out = pd.concat(list(media_feature_batch(iter([pdf]))))
     ids = list(out["media_id"])
-    assert ids[0] == 1 and pd.isna(ids[1]) and pd.isna(ids[2])
+    # the batch-level id is the lossless STRING leg of the round trip
+    assert ids[0] == "1" and ids[1] is None and ids[2] is None
     assert list(out["decode_ok"]) == [False, False, False]
     # and the null-id rows still flow through Spark's schema (nullable)
     df = spark.createDataFrame(
@@ -216,28 +217,33 @@ def test_null_media_id_flags_row_not_task(spark):
 
 
 def test_null_in_batch_does_not_float_corrupt_big_ids(spark):
-    """Round-5 review find: a None media_id in a batch made pandas infer
-    float64 for the whole column, silently corrupting valid ids >= 2^53
-    (9007199254740993 became ...992.0). The output column is now nullable
-    Int64 end-to-end."""
+    """Round-5 review find (both passes): a None media_id sharing an
+    Arrow batch coerced the long column to float64 — on the OUTPUT side
+    (pandas inference) AND the INPUT side (Spark's Arrow→pandas
+    conversion, corrupting ids >= 2^53 before user code ran). media_id
+    now crosses the UDF as a lossless string both ways; this pins the
+    worst case — the big id and the null in the SAME partition/batch."""
     import pandas as pd
 
-    from martial_arts_ocr_spark.multimodal import media_feature_batch
+    from martial_arts_ocr_spark.multimodal import (
+        extract_media_features,
+        media_feature_batch,
+    )
 
     big = 9007199254740993            # 2^53 + 1: not float64-representable
     pdf = pd.DataFrame({
-        "media_id": pd.array([big, None], dtype="Int64"),
+        "media_id": [str(big), None],
         "media_type": ["image", "image"],
         "content": [b"", None],
     })
     out = pd.concat(list(media_feature_batch(iter([pdf]))))
-    assert out["media_id"].dtype.name == "Int64"
-    assert out["media_id"].iloc[0] == big
-    assert pd.isna(out["media_id"].iloc[1])
-    # and through Spark/Arrow end-to-end
-    from martial_arts_ocr_spark.multimodal import extract_media_features
+    assert out["media_id"].iloc[0] == str(big)
+    assert out["media_id"].iloc[1] is None
+    # end-to-end through Spark/Arrow with BOTH rows forced into ONE batch
+    # (the second-pass repro: separate partitions masked the input-side
+    # coercion)
     df = spark.createDataFrame(
         [(big, "image", bytearray(b"x")), (None, "image", None)],
-        "media_id long, media_type string, content binary")
+        "media_id long, media_type string, content binary").coalesce(1)
     got = {r.media_id for r in extract_media_features(df).collect()}
-    assert big in got and None in got
+    assert big in got and None in got, got

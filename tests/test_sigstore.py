@@ -180,3 +180,35 @@ def test_signing_survives_crash_and_resume(spark, tmp_path):
     # distinct ids per bucket set, none wave-numbered
     snaps = sigstore.appended_snapshots(root)
     assert all("/b" in s for s in snaps), snaps
+
+
+def test_resume_with_different_batch_size_does_not_resign(spark, tmp_path):
+    """Round-5 second-pass find: wave composition (and so the bucket-set
+    snapshot ids) depends on batch_size, which was not pinned — a resume
+    with a different batch_size regrouped pending buckets into fresh ids
+    and re-signed already-signed buckets under ids the read-side dedup
+    cannot collapse. batch_size is now part of the pinned run config."""
+    from martial_arts_ocr_spark.engine.job import with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whB")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="c", n_buckets=8,
+                         batch_size=2, sign_snapshots=True,
+                         fail_after_waves=1)
+    snaps_before = sigstore.appended_snapshots(root)
+    store_before = sigstore.read_store(spark, root).count()
+    # resume asks for batch_size=3; the pinned 2 must win
+    run_checkpointed(spark, pages, root, run_id="c", n_buckets=8,
+                     batch_size=3, sign_snapshots=True)
+    snaps_after = sigstore.appended_snapshots(root)
+    # the pre-crash snapshot ids are a SUBSET of the final set (no
+    # regrouped duplicates of already-signed buckets)
+    assert snaps_before <= snaps_after
+    signed_buckets = [b for s in snaps_after
+                     for b in s.split("/b")[1].split("-")]
+    assert len(signed_buckets) == len(set(signed_buckets)), snaps_after
+    assert sigstore.read_store(spark, root).count() > store_before
