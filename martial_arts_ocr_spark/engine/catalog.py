@@ -98,6 +98,25 @@ def _scratch_dir(root: str, table: str) -> str:
     return os.path.join(root, "_compact_scratch", table)
 
 
+def _migrate_legacy_scratch(root: str, table: str) -> None:
+    """One-time sweep of the short-lived root-level scratch naming
+    (``_trash_<table>_<bucket>`` / ``_compact_tmp_...``) into the
+    per-table scratch area, so a compaction that crashed under the old
+    layout stays recoverable after the layout change (round-5 third-pass
+    review find). Matching is restricted to THIS table's exact prefix —
+    the cross-table prefix ambiguity that motivated the subdir layout
+    cannot arise among the repo's actual table names, and new state never
+    uses these names again."""
+    sdir = _scratch_dir(root, table)
+    for kind, pre in (("trash", f"_trash_{table}_"),
+                      ("tmp", f"_compact_tmp_{table}_")):
+        for name in list(os.listdir(root)):
+            if name.startswith(pre):
+                os.makedirs(sdir, exist_ok=True)
+                os.replace(os.path.join(root, name),
+                           os.path.join(sdir, kind + "_" + name[len(pre):]))
+
+
 def _recover_compaction(root: str, table: str,
                         restore_only: bool = False) -> None:
     """Roll a crashed compaction swap back or forward (idempotent).
@@ -132,8 +151,12 @@ def _recover_compaction(root: str, table: str,
     import shutil
 
     tdir = table_path(root, table)
+    if not os.path.isdir(tdir):
+        return
+    if not restore_only:
+        _migrate_legacy_scratch(root, table)
     sdir = _scratch_dir(root, table)
-    if not os.path.isdir(tdir) or not os.path.isdir(sdir):
+    if not os.path.isdir(sdir):
         return
     for name in os.listdir(sdir):
         full = os.path.join(sdir, name)
@@ -191,6 +214,8 @@ def compact_table(spark: SparkSession, root: str, table: str,
     files_before = files_after = 0
     buckets_rewritten = 0
     _recover_compaction(root, table)
+    sdir = _scratch_dir(root, table)
+    os.makedirs(sdir, exist_ok=True)
     for bdir in _bucket_dirs(root, table):
         old = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         files_before += len(old)
@@ -201,8 +226,6 @@ def compact_table(spark: SparkSession, root: str, table: str,
         # scratch dirs live in the per-table scratch area (see
         # _recover_compaction: inside the table dir, their names would
         # poison every concurrent reader's partition discovery)
-        sdir = _scratch_dir(root, table)
-        os.makedirs(sdir, exist_ok=True)
         tmp = os.path.join(sdir, f"tmp_{bname}")
         trash = os.path.join(sdir, f"trash_{bname}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -191,8 +191,28 @@ def run_checkpointed(
             if name.startswith("_tmp_wave_"):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
-    hot_hosts, n_buckets, batch_size = _pin_run_config(
+    hot_hosts, n_buckets, pinned_bs = _pin_run_config(
         root, run_id, hot_hosts, n_buckets, batch_size)
+    # hot_hosts/n_buckets MUST follow the pin (bucket assignment);
+    # batch_size must only when signing (snapshot ids derive from wave
+    # bucket sets). For unsigned runs wave width is a legitimate
+    # operational recovery lever (e.g. shrink per-wave memory after an
+    # OOM) — honor the caller but say so loudly (round-5 third-pass
+    # review: a silent override removed that lever with no trace).
+    if batch_size != pinned_bs:
+        if sign_snapshots:
+            import warnings
+            warnings.warn(
+                f"run {run_id!r}: batch_size={batch_size} ignored — "
+                f"signed runs use the pinned batch_size={pinned_bs} "
+                f"(signature snapshot ids derive from wave composition)")
+            batch_size = pinned_bs
+        else:
+            import warnings
+            warnings.warn(
+                f"run {run_id!r}: resuming with batch_size={batch_size} "
+                f"(pinned value was {pinned_bs}; wave width is an "
+                f"operational knob for unsigned runs)")
     bucketed = _bucketed(pages, n_buckets, hot_hosts).persist()
     try:
         return _run_waves(spark, bucketed, root, run_id, n_buckets,

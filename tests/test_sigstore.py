@@ -212,3 +212,33 @@ def test_resume_with_different_batch_size_does_not_resign(spark, tmp_path):
                      for b in s.split("/b")[1].split("-")]
     assert len(signed_buckets) == len(set(signed_buckets)), snaps_after
     assert sigstore.read_store(spark, root).count() > store_before
+
+
+def test_unsigned_resume_honors_caller_batch_size(spark, tmp_path):
+    """Round-5 third-pass find: for UNSIGNED runs, wave width is an
+    operational recovery lever (shrink per-wave memory after an OOM) —
+    the pin must not silently override the caller; the divergence is
+    warned, and the caller's width drives the remaining waves (visible
+    in the per-wave snapshot-log entries)."""
+    import warnings as _w
+
+    from martial_arts_ocr_spark.engine.job import with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whU")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="u", n_buckets=8,
+                         batch_size=2, fail_after_waves=1)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        run_checkpointed(spark, pages, root, run_id="u", n_buckets=8,
+                         batch_size=6)
+    assert any("operational knob" in str(c.message) for c in caught)
+    waves = [s for s in catalog.read_snapshots(root, "extracted")
+             if "wave" in s]
+    # 1 pre-crash wave of 2 buckets + 1 resumed wave of the remaining 6
+    assert len(waves) == 2
+    assert len(waves[-1]["buckets"]) == 6
