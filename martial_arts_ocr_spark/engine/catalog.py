@@ -153,8 +153,12 @@ def _recover_compaction(root: str, table: str,
     tdir = table_path(root, table)
     if not os.path.isdir(tdir):
         return
-    if not restore_only:
-        _migrate_legacy_scratch(root, table)
+    # legacy migration runs in BOTH modes (round-5 fourth-pass find: a
+    # read-only recovery that skipped it left an old-layout crashed
+    # bucket invisible until someone compacted). Moving a legacy dir is
+    # race-safe from the read path: no live compactor ever writes the
+    # legacy names again.
+    _migrate_legacy_scratch(root, table)
     sdir = _scratch_dir(root, table)
     if not os.path.isdir(sdir):
         return
@@ -215,7 +219,6 @@ def compact_table(spark: SparkSession, root: str, table: str,
     buckets_rewritten = 0
     _recover_compaction(root, table)
     sdir = _scratch_dir(root, table)
-    os.makedirs(sdir, exist_ok=True)
     for bdir in _bucket_dirs(root, table):
         old = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         files_before += len(old)
@@ -228,6 +231,10 @@ def compact_table(spark: SparkSession, root: str, table: str,
         # poison every concurrent reader's partition discovery)
         tmp = os.path.join(sdir, f"tmp_{bname}")
         trash = os.path.join(sdir, f"trash_{bname}")
+        # created only when a bucket is actually rewritten (fourth-pass
+        # find: the hoisted unconditional makedirs left stray scratch
+        # dirs for typo'd table names and no-op compactions)
+        os.makedirs(sdir, exist_ok=True)
         shutil.rmtree(tmp, ignore_errors=True)
         (spark.read.parquet(bdir)
          .coalesce(target_files_per_bucket)

@@ -87,20 +87,25 @@ def completed_buckets(spark: SparkSession, root: str, run_id: str) -> set[int]:
     return {r.part_bucket for r in rows}
 
 
+_DEFAULT_BATCH_SIZE = 4
+
+
 def _pin_run_config(root: str, run_id: str, hot_hosts: list[str] | None,
-                    n_buckets: int, batch_size: int
-                    ) -> tuple[list[str] | None, int, int]:
-    """Persist (hot_hosts, n_buckets, batch_size) on first run; reload on
-    resume.
+                    n_buckets: int, batch_size: int, sign_snapshots: bool
+                    ) -> tuple[list[str] | None, int, int, bool]:
+    """Persist (hot_hosts, n_buckets, batch_size, sign_snapshots) on
+    first run; reload on resume.
 
     Bucket assignment depends on the first two — a resume that re-derived
     a different hot-host list would shift keys and double-process
-    documents — and wave COMPOSITION depends on batch_size: the signature
+    documents. Wave COMPOSITION depends on batch_size: the signature
     store's exactly-once snapshot ids derive from each wave's bucket set
     (round-5 second-pass review find: resuming with a different
     batch_size regrouped pending buckets into fresh ids and re-signed
     already-signed buckets under ids read_store's dedup cannot collapse).
-    The first run's config is authoritative for its run_id.
+    And signing itself must be consistent across every wave of a run
+    (fourth-pass find), so sign_snapshots is pinned too. The first run's
+    config is authoritative for its run_id.
     """
     import json
     import os
@@ -109,16 +114,20 @@ def _pin_run_config(root: str, run_id: str, hot_hosts: list[str] | None,
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             cfg = json.load(f)
-        # pre-round-5 pin files lack batch_size; fall back to the caller's
+        # pre-round-5 pin files lack the newer fields; fall back to the
+        # caller's values (no signed run can predate the fields — signing
+        # itself is round-5)
         return (cfg["hot_hosts"], cfg["n_buckets"],
-                cfg.get("batch_size", batch_size))
+                cfg.get("batch_size", batch_size),
+                cfg.get("sign_snapshots", sign_snapshots))
     os.makedirs(root, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"hot_hosts": hot_hosts, "n_buckets": n_buckets,
-                   "batch_size": batch_size}, f)
+                   "batch_size": batch_size,
+                   "sign_snapshots": sign_snapshots}, f)
     os.replace(tmp, path)
-    return hot_hosts, n_buckets, batch_size
+    return hot_hosts, n_buckets, batch_size, sign_snapshots
 
 
 def run_checkpointed(
@@ -127,13 +136,19 @@ def run_checkpointed(
     root: str,
     run_id: str,
     n_buckets: int = 16,
-    batch_size: int = 4,
+    batch_size: int | None = None,
     hot_hosts: list[str] | None = None,
     fail_after_waves: int | None = None,
     files_per_bucket: int = 1,
     sign_snapshots: bool = False,
 ) -> list[int]:
     """Process all pending buckets in waves; returns buckets processed.
+
+    ``batch_size=None`` (the config-less default) means "the pinned
+    value" on resume and ``_DEFAULT_BATCH_SIZE`` on a fresh run; pass an
+    explicit int to override (honored with a warning on unsigned
+    resumes, rejected with a warning on signed ones — see the pin
+    resolution below).
 
     ``fail_after_waves`` injects a crash after N waves (for resume tests).
     ``files_per_bucket`` sizes the partitioned write: 1 (default) gives one
@@ -191,24 +206,40 @@ def run_checkpointed(
             if name.startswith("_tmp_wave_"):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
-    hot_hosts, n_buckets, pinned_bs = _pin_run_config(
-        root, run_id, hot_hosts, n_buckets, batch_size)
+    import warnings
+
+    hot_hosts, n_buckets, pinned_bs, pinned_sign = _pin_run_config(
+        root, run_id, hot_hosts, n_buckets,
+        _DEFAULT_BATCH_SIZE if batch_size is None else batch_size,
+        sign_snapshots)
+    # sign_snapshots follows the pin unconditionally (round-5 fourth-pass
+    # find: a resume that forgot the flag silently committed waves with
+    # no signature append, leaving the store permanently missing those
+    # documents while their buckets checkpointed 'completed').
+    if sign_snapshots != pinned_sign:
+        warnings.warn(
+            f"run {run_id!r}: sign_snapshots={sign_snapshots} ignored — "
+            f"the run was pinned with sign_snapshots={pinned_sign} and "
+            f"signing must be consistent across every wave")
+        sign_snapshots = pinned_sign
     # hot_hosts/n_buckets MUST follow the pin (bucket assignment);
     # batch_size must only when signing (snapshot ids derive from wave
-    # bucket sets). For unsigned runs wave width is a legitimate
-    # operational recovery lever (e.g. shrink per-wave memory after an
-    # OOM) — honor the caller but say so loudly (round-5 third-pass
-    # review: a silent override removed that lever with no trace).
-    if batch_size != pinned_bs:
+    # bucket sets). batch_size=None — the config-less resume — always
+    # takes the pinned value (fourth-pass find: comparing against the
+    # signature DEFAULT made a flag-less resume look like an explicit
+    # override). An EXPLICIT divergent width on an unsigned run is a
+    # legitimate operational recovery lever (e.g. shrink per-wave memory
+    # after an OOM) — honored, loudly.
+    if batch_size is None:
+        batch_size = pinned_bs
+    elif batch_size != pinned_bs:
         if sign_snapshots:
-            import warnings
             warnings.warn(
                 f"run {run_id!r}: batch_size={batch_size} ignored — "
                 f"signed runs use the pinned batch_size={pinned_bs} "
                 f"(signature snapshot ids derive from wave composition)")
             batch_size = pinned_bs
         else:
-            import warnings
             warnings.warn(
                 f"run {run_id!r}: resuming with batch_size={batch_size} "
                 f"(pinned value was {pinned_bs}; wave width is an "

@@ -33,7 +33,10 @@ def main() -> int:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--batch-size", type=int, default=8)
+    # None = the pinned value on resume (a config-less resume must not
+    # look like an explicit override — round-5 fourth-pass review find),
+    # or the engine default on a fresh run
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--hot-hosts-threshold", type=float, default=0.05)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()

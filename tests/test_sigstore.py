@@ -239,6 +239,64 @@ def test_unsigned_resume_honors_caller_batch_size(spark, tmp_path):
     assert any("operational knob" in str(c.message) for c in caught)
     waves = [s for s in catalog.read_snapshots(root, "extracted")
              if "wave" in s]
-    # 1 pre-crash wave of 2 buckets + 1 resumed wave of the remaining 6
+    # 1 pre-crash wave of 2 buckets + 1 resumed wave of ALL remaining
+    # present buckets (computed, not hard-coded: the fixture's hash
+    # layout may leave some of the 8 buckets empty)
+    n_present = len({b for s in waves for b in s["buckets"]})
     assert len(waves) == 2
-    assert len(waves[-1]["buckets"]) == 6
+    assert len(waves[0]["buckets"]) == 2
+    assert len(waves[-1]["buckets"]) == n_present - 2
+
+
+def test_configless_resume_takes_pinned_batch_size(spark, tmp_path):
+    """Round-5 fourth-pass find: batch_size=None (the config-less
+    resume) must take the pinned value, never the signature default —
+    an operator who pinned 2 and resumes flag-less keeps 2-bucket
+    waves."""
+    from martial_arts_ocr_spark.engine.job import with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whP")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="p", n_buckets=8,
+                         batch_size=2, fail_after_waves=1)
+    run_checkpointed(spark, pages, root, run_id="p")   # no batch_size
+    waves = [s for s in catalog.read_snapshots(root, "extracted")
+             if "wave" in s]
+    assert all(len(s["buckets"]) <= 2 for s in waves), waves
+
+
+def test_signed_resume_without_flag_keeps_signing(spark, tmp_path):
+    """Round-5 fourth-pass find: a signed run resumed WITHOUT the
+    sign_snapshots flag used to silently commit the remaining waves with
+    no signature append — the flag is pinned now, so signing continues
+    (with a warning) and every completed document reaches the store."""
+    import warnings as _w
+
+    from martial_arts_ocr_spark.engine.job import with_host
+    from martial_arts_ocr_spark.engine.resume import run_checkpointed
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+
+    root = str(tmp_path / "whS")
+    pages = with_host(spark.createDataFrame(pages_pandas(40)))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, pages, root, run_id="s", n_buckets=8,
+                         batch_size=2, sign_snapshots=True,
+                         fail_after_waves=1)
+    n_mid = sigstore.read_store(spark, root).count()
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        run_checkpointed(spark, pages, root, run_id="s")   # flag forgotten
+    assert any("sign_snapshots" in str(c.message) for c in caught)
+    assert sigstore.read_store(spark, root).count() > n_mid
+    # every completed url flags against the store (nothing unsigned)
+    out = sigstore.dedup_new_snapshot(
+        spark, root,
+        spark.read.parquet(f"{root}/extracted")
+        .where("status = 'completed'"),
+        key_col="url", text_col="text")
+    assert out.where("NOT dup_vs_store").count() == 0
