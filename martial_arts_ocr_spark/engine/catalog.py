@@ -107,14 +107,27 @@ def _migrate_legacy_scratch(root: str, table: str) -> None:
     the cross-table prefix ambiguity that motivated the subdir layout
     cannot arise among the repo's actual table names, and new state never
     uses these names again."""
+    import errno
+
     sdir = _scratch_dir(root, table)
     for kind, pre in (("trash", f"_trash_{table}_"),
                       ("tmp", f"_compact_tmp_{table}_")):
         for name in list(os.listdir(root)):
             if name.startswith(pre):
                 os.makedirs(sdir, exist_ok=True)
-                os.replace(os.path.join(root, name),
-                           os.path.join(sdir, kind + "_" + name[len(pre):]))
+                try:
+                    os.replace(os.path.join(root, name),
+                               os.path.join(sdir, kind + "_" + name[len(pre):]))
+                except OSError as e:
+                    # two concurrent readers can race this one-time
+                    # migration (it runs from the read path via
+                    # _recover_compaction); the loser's rename sees the
+                    # source gone (ENOENT) or the destination occupied
+                    # (ENOTEMPTY/EEXIST) — either way the winner already
+                    # did the work, mirroring the restore guard below
+                    if e.errno not in (errno.ENOENT, errno.ENOTEMPTY,
+                                       errno.EEXIST):
+                        raise
 
 
 def _recover_compaction(root: str, table: str,

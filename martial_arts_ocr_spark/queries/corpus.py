@@ -231,7 +231,11 @@ def q_benchmark_contamination(spark, sf_dir):
 
 _PROBE_ROWS = ", ".join(f"({b}, {d}, {s})" for b, d, s in _BENCH_PROBES)
 
-ORACLE_CONTAMINATION = f"""
+# body without the final ORDER BY — shared verbatim by the registered
+# oracle (which appends the ORDER BY) and the keep-set oracle's
+# subquery (round-5 ADVICE: the former `.replace("ORDER BY ...", "")`
+# coupling silently no-op'd if this tail ever changed wording)
+_CONTAM_BODY = f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
   FROM documents
@@ -255,8 +259,10 @@ SELECT g.doc_id,
        CAST(count(DISTINCT g.gram_hash) AS BIGINT) AS n_contaminated_grams,
        CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmarks
 FROM grams g JOIN bench b USING (gram_hash)
-GROUP BY g.doc_id ORDER BY g.doc_id
+GROUP BY g.doc_id
 """
+
+ORACLE_CONTAMINATION = _CONTAM_BODY + "ORDER BY doc_id\n"
 
 
 def q_repetition_flags(spark, sf_dir):
@@ -612,7 +618,10 @@ def _lm_score_udf(costs: dict[str, int], unk: int):
     def lm_score(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
         for i, t in enumerate(text):
-            if len(t) < 2:
+            # None scores 0 like the len<2 case (a dirty corpus must not
+            # fail the whole job inside the executor); the oracle's
+            # LEFT-JOIN miss + coalesce(total, 0) agrees
+            if t is None or len(t) < 2:
                 continue
             # exact char codes, vectorized; anything non-ASCII clips to
             # the sentinel row/col 128 = global unknown (same as the
@@ -832,7 +841,7 @@ surv AS (
   SELECT content_hash, min(doc_id) AS keep_doc_id FROM t GROUP BY 1
 ),
 contam AS (
-  SELECT DISTINCT doc_id FROM ({ORACLE_CONTAMINATION.replace("ORDER BY g.doc_id", "")})
+  SELECT DISTINCT doc_id FROM ({_CONTAM_BODY})
 )
 SELECT g.doc_id,
        g.gopher_pass,

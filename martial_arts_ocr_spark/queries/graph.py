@@ -99,6 +99,20 @@ def _free_checkpoint(df: DataFrame, reliable: bool) -> None:
     (_free_reliable_checkpoint if reliable else _free_local_checkpoint)(df)
 
 
+def free_labels(df: DataFrame) -> None:
+    """Public release hook for a ``connected_components`` RESULT: the
+    terminal round's labels stay checkpointed (block-manager blocks in
+    local mode, checkpoint FILES in ``reliable=True`` mode) while the
+    caller consumes the lazy DataFrame, so they are CALLER-OWNED — a
+    long-running session that invokes connected_components repeatedly
+    must call this after fully consuming each result, or accumulate one
+    storage set per invocation. Tries both modes (each helper no-ops on
+    the other's plan shape), so callers need not remember which mode
+    produced the frame."""
+    _free_local_checkpoint(df)
+    _free_reliable_checkpoint(df)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
                          reliable: bool = False) -> DataFrame:
     """(src, dst) undirected edge list -> (doc, lbl) min-label components.
@@ -109,6 +123,12 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
     ``spark.sparkContext.setCheckpointDir``) — the executor-loss-safe
     mode for long-running 100 TB jobs; see the module docstring's
     reliability-trade note.
+
+    Intermediate rounds' checkpoint storage is freed here, but the
+    RETURNED labels' storage (blocks, or checkpoint files in reliable
+    mode) is caller-owned — call ``free_labels(result)`` after consuming
+    it; repeated invocations in one session otherwise accumulate one
+    terminal set per call.
     """
     def _mat(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
@@ -183,7 +203,7 @@ def q_dedup_clusters(spark, sf_dir):
     app = spark.sparkContext.applicationId
     prev = _LAST_LABELS.pop(app, None)
     if prev is not None:
-        _free_local_checkpoint(prev)
+        free_labels(prev)
     _LAST_LABELS.clear()          # stopped-session entries
     pairs = q_minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
