@@ -38,19 +38,16 @@ from . import (corpus, extended, extraction, graph, lineage, media, neardup,
 # registry change; queries past the window stay covered every round by the
 # full-registry tests/oracle_check.py mirror.
 _GATE_HEAD = [
-    # round-4 tail (driver-green r1-r3, judge-mirror-green r4):
-    "langid_heuristic", "tokens_by_source", "bpe_token_counts",
-    "punct_ratio", "pricing_summary", "top_revenue_customers",
-    "order_priority", "region_balance", "top_parts_per_brand",
-    "customers_with_orders", "customers_without_orders",
-    "custkeys_1996_not_1997", "orders_rollup", "events_hourly",
-    "events_sessions",
-    # round-5 additions (first driver row required this round):
-    "url_canonical_dups",
-    "lm_perplexity_buckets",
-    "incremental_snapshot_dedup",
-    "ivf_recall_curve",
-    "corpus_keep_set",
+    # round-5 tail (driver-green r4, judge-mirror-green r5):
+    "minhash_bands", "simhash", "simhash_neardup_pairs", "argmax_order",
+    "events_sliding_windows", "events_gap_flags", "whitespace_normalize",
+    "sentence_counts", "doc_trigram_head", "custkeys_both_years",
+    "region_nation_matrix", "party_balances_union",
+    "top_users_per_event_type", "part_size_buckets", "pii_redact",
+    "doc_stats_by_lang", "exact_dup_groups", "dedup_survivors",
+    "fingerprints", "quality_buckets",
+    # round-6 additions (first driver row required this round) are
+    # appended here in the same commit that registers them.
 ]
 
 _all_q: dict = {}
