@@ -84,8 +84,8 @@ def train_bpe(texts, n_merges: int = N_MERGES) -> list[tuple[str, str]]:
     return train_bpe_from_freq(wfreq, n_merges)
 
 
-def encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Number of BPE tokens for one pre-token: repeatedly apply the
+def encode_tokens(word: str, ranks: dict[tuple[str, str], int]) -> tuple:
+    """BPE token strings for one pre-token: repeatedly apply the
     lowest-rank adjacent pair present until none applies."""
     sym: tuple = tuple(word)
     while len(sym) > 1:
@@ -98,7 +98,62 @@ def encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_pair is None:
             break
         sym = _merge_once(sym, *best_pair)
-    return len(sym)
+    return sym
+
+
+def encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one pre-token."""
+    return len(encode_tokens(word, ranks))
+
+
+# --- token ids (round-6 tokenize-and-pack output stage) -----------------------
+#
+# Deterministic, collision-free id scheme over the merge table:
+#   id 0                      = the document separator (<|sep|>)
+#   ids 1 .. n_merges         = merged tokens, in merge-table order (a
+#                               duplicate merged STRING keeps its first id)
+#   id  1 + n_merges + ord(c) = any single-character token c
+# Merged tokens are always >= 2 chars, single-char tokens exactly 1, so the
+# two ranges never collide; the id space is sparse (production would remap
+# to a dense byte-level vocab) but bijective per token string, which is all
+# packing needs.
+
+SEP_ID = 0
+
+
+def merged_token_ids(merges=None) -> dict[str, int]:
+    table: dict[str, int] = {}
+    for i, (a, b) in enumerate(BPE_MERGES if merges is None else merges):
+        table.setdefault(a + b, 1 + i)
+    return table
+
+
+def token_id(tok: str, merged_ids: dict[str, int], n_merges: int) -> int:
+    if len(tok) == 1:
+        return 1 + n_merges + ord(tok)
+    return merged_ids[tok]
+
+
+def doc_token_ids(text: str,
+                  ranks: dict[tuple[str, str], int],
+                  merged_ids: dict[str, int],
+                  n_merges: int,
+                  cache: dict | None = None) -> list[int]:
+    """Token-id sequence of a document (no separator appended) — the
+    id-level sibling of doc_token_count, sharing its per-batch word memo
+    discipline."""
+    pat = re.compile(PRETOKEN_RE)
+    out: list[int] = []
+    for w in pat.findall(text):
+        if cache is not None and w in cache:
+            out.extend(cache[w])
+            continue
+        ids = [token_id(t, merged_ids, n_merges)
+               for t in encode_tokens(w, ranks)]
+        if cache is not None:
+            cache[w] = ids
+        out.extend(ids)
+    return out
 
 
 def doc_token_count(text: str,

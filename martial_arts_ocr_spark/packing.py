@@ -1,0 +1,129 @@
+"""Tokenize-and-pack output stage (round-5 VERDICT item 1).
+
+Every training run consumes the same artifact: documents BPE-tokenized,
+concatenated with a separator id, chunked into fixed-length context
+windows.  Reference parity: the reference ends its pipeline at per-page
+artifact JSON (src/martial_arts_ocr/ocr/processor.py — no training-data
+stage exists there); this stage is the LLM-pipeline extension the graft
+brief asks for, composed from the repo's own BPE (bpe.py) and
+content-hash split (queries/corpus.py).
+
+Layout — the 100 TB shape:
+
+* Docs are assigned to ``n_buckets`` PACK BUCKETS by content hash
+  (md5-prefix mod), and packing is independent per bucket: the bucket is
+  the unit of parallelism AND of determinism.  A global pack order over
+  100 TB would serialize the cumulative sum; per-bucket packing is
+  embarrassingly parallel, and n_buckets is sized so one bucket's token
+  stream fits an executor (at 100 TB: tens of thousands of buckets — the
+  same knob every distributed tokenizer job exposes).
+* WITHIN a bucket, order is (md5(text), doc_id) — deterministic across
+  runs, partitionings and engines; ties are exact-duplicate texts, which
+  are interchangeable for every emitted statistic and id stream.
+* Two surfaces share the identical arithmetic:
+  - ``pack_token_sequences`` (here): the REAL artifact — token-id arrays
+    via one ``applyInPandas`` over ``groupBy(bucket)``; arrays cannot
+    cross the driver's canonicalizer, so this surface is pytest-pinned
+    (tests/test_packing.py) against the stats query;
+  - ``queries/corpus.py:q_packed_sequences``: the registered, DuckDB-
+    oracled stats query — pure column algebra (window cumsum + explode)
+    over the same (bucket, order, cost) definitions imported from here.
+
+Separator convention: one SEP after EVERY document (stream length =
+sum(tokens_i + 1)); a document may span a chunk boundary (GPT-style
+packing, no padding except the final short chunk of each bucket).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CTX_LEN = 512
+N_BUCKETS = 8
+
+
+def content_hash_col():
+    """md5 hex of the text — the shared order key (identical in DuckDB:
+    ``md5(text)``)."""
+    return F.md5(F.col("text"))
+
+
+def pack_bucket_col(h, n_buckets: int = N_BUCKETS):
+    """Pack-bucket id from the hash's first 15 hex digits (same parse both
+    engines: Spark conv(,16,10), DuckDB CAST('0x'||substr AS BIGINT))."""
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
+
+
+def pack_token_sequences(docs: DataFrame,
+                         ctx_len: int = CTX_LEN,
+                         n_buckets: int = N_BUCKETS,
+                         merges=None) -> DataFrame:
+    """The real packer: (bucket, seq_in_bucket, n_docs_in_seq, n_tokens,
+    fill_ratio, token_ids) — token_ids is the training-ready id array.
+
+    One shuffle (groupBy bucket), one Arrow-batched pandas stage; the
+    merge table rides the closure as a task-local constant.  doc_id
+    crosses Arrow as a STRING (round-5 gotcha: Spark's Arrow input
+    coercion turns nullable int64 into float64 whenever a null shares the
+    batch, corrupting ids >= 2^53 before user code runs)."""
+    if merges is None:
+        from .bpe_merges_1k import BPE_MERGES_1K
+        merges = BPE_MERGES_1K
+    h = content_hash_col()
+    prepped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        h.alias("h"),
+        pack_bucket_col(h, n_buckets).alias("bucket"),
+    )
+    schema = ("bucket bigint, seq_in_bucket bigint, n_docs_in_seq bigint, "
+              "n_tokens bigint, fill_ratio double, token_ids array<bigint>")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from . import bpe
+
+        ranks = bpe.merge_ranks(merges)
+        mids = bpe.merged_token_ids(merges)
+        nm = len(merges)
+        pdf = pdf.assign(_did=pdf["doc_id"].astype("int64"))
+        pdf = pdf.sort_values(["h", "_did"], kind="mergesort")
+        stream: list[int] = []
+        bounds: list[tuple[int, int]] = []
+        pos = 0
+        cache: dict = {}
+        for t in pdf["text"]:
+            ids = bpe.doc_token_ids(t, ranks, mids, nm, cache)
+            ids.append(bpe.SEP_ID)
+            bounds.append((pos, pos + len(ids)))
+            stream.extend(ids)
+            pos += len(ids)
+        total = pos
+        if total == 0:
+            return pd.DataFrame(
+                {c: [] for c in ("bucket", "seq_in_bucket", "n_docs_in_seq",
+                                 "n_tokens", "fill_ratio", "token_ids")})
+        arr = np.asarray(stream, dtype=np.int64)
+        n_seqs = -(-total // ctx_len)
+        diff = np.zeros(n_seqs + 1, dtype=np.int64)
+        for s, e in bounds:
+            diff[s // ctx_len] += 1
+            diff[(e - 1) // ctx_len + 1] -= 1
+        n_docs = np.cumsum(diff[:-1])
+        n_tok = np.minimum(ctx_len,
+                           total - ctx_len * np.arange(n_seqs, dtype=np.int64))
+        bucket = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame({
+            "bucket": np.full(n_seqs, bucket, dtype=np.int64),
+            "seq_in_bucket": np.arange(n_seqs, dtype=np.int64),
+            "n_docs_in_seq": n_docs,
+            "n_tokens": n_tok,
+            "fill_ratio": n_tok / float(ctx_len),
+            "token_ids": [arr[k * ctx_len:(k + 1) * ctx_len]
+                          for k in range(n_seqs)],
+        })
+
+    return prepped.groupBy("bucket").applyInPandas(pack, schema)

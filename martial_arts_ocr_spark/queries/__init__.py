@@ -46,8 +46,8 @@ _GATE_HEAD = [
     "top_users_per_event_type", "part_size_buckets", "pii_redact",
     "doc_stats_by_lang", "exact_dup_groups", "dedup_survivors",
     "fingerprints", "quality_buckets",
-    # round-6 additions (first driver row required this round) are
-    # appended here in the same commit that registers them.
+    # round-6 additions (first driver row required this round):
+    "packed_sequences",
 ]
 
 _all_q: dict = {}

@@ -859,7 +859,128 @@ ORDER BY g.doc_id
 """
 
 
+# --- tokenize-and-pack output stage (round-5 VERDICT item 1) ------------------
+
+def q_packed_sequences(spark, sf_dir):
+    """Packing STATISTICS of the training-sequence artifact — the oracled
+    face of martial_arts_ocr_spark/packing.py (which emits the real
+    token-id arrays; arrays can't cross the driver canonicalizer, so the
+    two surfaces are pinned equal in tests/test_packing.py).
+
+    Semantics: train-split docs (the same md5-permille predicate as
+    q_train_val_split) are BPE-tokenized with the 1,024-merge table,
+    assigned to 8 pack buckets by content-hash, ordered by (md5(text),
+    doc_id) within bucket, concatenated with one separator per doc, and
+    chunked to CTX_LEN=512.  Output: one row per packed sequence —
+    (bucket, seq_in_bucket, n_docs_in_seq, n_tokens, fill_ratio).
+
+    100 TB shape: one ArrowEvalPython token-count stage fused into the
+    scan, ONE shuffle for the bucket-partitioned window cumsum (buckets
+    are independent — the global-order serial cumsum is deliberately
+    avoided), a bounded explode (a doc adds <= spanned-chunk rows), and a
+    partial-agg groupBy(bucket, seq).  fill_ratio = n_tokens/512 is exact
+    IEEE (power-of-two denominator) so it crosses engines unrounded."""
+    from pyspark.sql import Window
+
+    from ..packing import CTX_LEN, content_hash_col, pack_bucket_col
+    from .textops import _bpe_count_udf
+
+    d = _docs(spark, sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))
+    split_b = (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+               .cast("bigint") % 1000)
+    kept = d.where(split_b < _SPLIT_TRAIN_PERMILLE)
+    bc = _bpe_count_udf()
+    h = content_hash_col()
+    costed = kept.select(
+        "doc_id",
+        h.alias("h"),
+        pack_bucket_col(h).alias("bucket"),
+        (bc(F.col("text")) + F.lit(1)).alias("cost"),   # +1 separator
+    )
+    cum_w = (Window.partitionBy("bucket").orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = costed.select("bucket", "cost",
+                        F.sum("cost").over(cum_w).alias("e"))
+    spans = cum.select(
+        "bucket",
+        F.floor((F.col("e") - F.col("cost")) / CTX_LEN)
+        .cast("bigint").alias("first_seq"),
+        F.floor((F.col("e") - 1) / CTX_LEN).cast("bigint").alias("last_seq"),
+        F.max("e").over(Window.partitionBy("bucket")).alias("btot"),
+    )
+    x = spans.select(
+        "bucket", "btot",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq"))
+    return (
+        x.groupBy("bucket", "seq")
+        .agg(F.count(F.lit(1)).alias("n_docs_in_seq"),
+             F.max("btot").alias("btot"))
+        .select(
+            "bucket",
+            F.col("seq").alias("seq_in_bucket"),
+            "n_docs_in_seq",
+            F.least(F.lit(CTX_LEN).cast("bigint"),
+                    F.col("btot") - F.col("seq") * CTX_LEN).alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", F.col("n_tokens") / F.lit(float(CTX_LEN)))
+        .orderBy("bucket", "seq_in_bucket")
+    )
+
+
+def _oracle_packed_sequences() -> str:
+    """DuckDB mirror: per-doc counts baked as VALUES (textops.
+    baked_bpe_count_values — the same pure-Python BPE mirror), then the
+    identical split/bucket/cumsum/chunk arithmetic in SQL."""
+    from ..packing import CTX_LEN, N_BUCKETS
+    from .textops import baked_bpe_count_values
+
+    sf, vals = baked_bpe_count_values()
+    return f"""
+-- per-doc BPE token counts mirrored from: {sf}/documents.parquet
+WITH counts(doc_id, c) AS (VALUES {vals}),
+kept AS (
+  SELECT d.doc_id, md5(d.text) AS h, cnt.c + 1 AS cost
+  FROM documents d JOIN counts cnt USING (doc_id)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                  || '{_SPLIT_SALT}'), 1, 15)) AS BIGINT) % 1000
+        < {_SPLIT_TRAIN_PERMILLE}
+),
+b AS (
+  SELECT CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {N_BUCKETS} AS bucket,
+         h, doc_id, cost
+  FROM kept
+),
+s AS (
+  SELECT bucket, cost,
+         CAST(SUM(cost) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM b
+),
+sp AS (
+  SELECT bucket,
+         CAST((e - cost) // {CTX_LEN} AS BIGINT) AS first_seq,
+         CAST((e - 1) // {CTX_LEN} AS BIGINT) AS last_seq,
+         CAST(MAX(e) OVER (PARTITION BY bucket) AS BIGINT) AS btot
+  FROM s
+),
+x AS (
+  SELECT bucket, btot,
+         unnest(generate_series(first_seq, last_seq)) AS seq
+  FROM sp
+)
+SELECT bucket, seq AS seq_in_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs_in_seq,
+       CAST(least({CTX_LEN}, max(btot) - seq * {CTX_LEN}) AS BIGINT)
+         AS n_tokens,
+       CAST(least({CTX_LEN}, max(btot) - seq * {CTX_LEN}) AS BIGINT)
+         / {CTX_LEN}.0 AS fill_ratio
+FROM x GROUP BY bucket, seq ORDER BY bucket, seq_in_bucket
+"""
+
+
 QUERIES = {
+    "packed_sequences": q_packed_sequences,
     "corpus_keep_set": q_corpus_keep_set,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -871,6 +992,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "packed_sequences": _oracle_packed_sequences,
     "corpus_keep_set": _oracle_corpus_keep_set,
     "lm_perplexity_buckets": _oracle_lm_perplexity,
     "gopher_quality_flags": ORACLE_GOPHER,

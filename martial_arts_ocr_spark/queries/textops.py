@@ -273,14 +273,13 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
-def _oracle_bpe_tokens() -> str:
-    """Per-doc BPE counts from the pure-Python mirror (single-doc loop, no
-    batch memoization) baked as VALUES over the gate parquet — the
-    k-means-centroid baked-literal technique, registered as a CALLABLE so
-    the parquet read happens at oracle_sql() time on the driver. Same env
-    coupling as neardup._oracle_ivf: comparing at any SF other than sf0.01
-    requires SPARK_GRAFT_ORACLE_SF. DuckDB independently re-joins the
-    counts to documents and re-aggregates per lang."""
+def baked_bpe_count_values() -> tuple[str, str]:
+    """(sf_dir, VALUES body) of per-doc 1k-table BPE counts from the
+    pure-Python mirror over the gate parquet — shared by the bpe_token_counts
+    oracle here and the packed_sequences oracle (queries/corpus.py). Same
+    env coupling as neardup._oracle_ivf: comparing at any SF other than
+    sf0.01 requires SPARK_GRAFT_ORACLE_SF. The word memo is deterministic
+    (same counts with or without it)."""
     import os
 
     import duckdb
@@ -297,9 +296,19 @@ def _oracle_bpe_tokens() -> str:
     ).fetchall()
     con.close()
     ranks = bpe.merge_ranks(BPE_MERGES_1K)
+    cache: dict = {}
     vals = ", ".join(
-        f"({did}, {bpe.doc_token_count(t, ranks)})" for did, t in rows
+        f"({did}, {bpe.doc_token_count(t, ranks, cache)})" for did, t in rows
     )
+    return sf, vals
+
+
+def _oracle_bpe_tokens() -> str:
+    """Per-doc BPE counts baked as VALUES (the k-means-centroid
+    baked-literal technique, registered as a CALLABLE so the parquet read
+    happens at oracle_sql() time on the driver); DuckDB independently
+    re-joins the counts to documents and re-aggregates per lang."""
+    sf, vals = baked_bpe_count_values()
     return f"""
 -- per-doc BPE token counts mirrored from: {sf}/documents.parquet
 WITH counts(doc_id, n_tokens) AS (VALUES {vals})

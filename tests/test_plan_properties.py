@@ -156,3 +156,16 @@ def test_corpus_keep_set_single_pass_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_packed_sequences_two_shuffle_shape(spark):
+    """Tokenize-and-pack stays the claimed 100 TB shape: split filter
+    pushed below the UDF, ONE ArrowEvalPython stage, ONE bucket exchange
+    feeding both windows AND the (bucket, seq) aggregate (bucket is a
+    co-location prefix, so partial+final agg run shuffle-free), and only
+    the presentation sort adds a second exchange. No join anywhere."""
+    plan = _plan(spark, "packed_sequences")
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange") == 2, plan[:1200]
+    assert "Generate" in plan          # the bounded per-doc seq explode
