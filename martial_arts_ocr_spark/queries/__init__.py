@@ -48,6 +48,7 @@ _GATE_HEAD = [
     "fingerprints", "quality_buckets",
     # round-6 additions (first driver row required this round):
     "packed_sequences",
+    "lm_perplexity_by_lang",
 ]
 
 _all_q: dict = {}

@@ -142,3 +142,77 @@ def test_model_matches_duckdb_trained_counts(spark):
         for i in range(len(t) - 1):
             counts[t[i:i + 2]] = counts.get(t[i:i + 2], 0) + 1
     assert lm_cost_table(counts) == _lm_model(spark, SF)
+
+
+# --- per-language models (round-5 VERDICT item 3) -----------------------------
+
+def test_per_lang_scoring_diverges_from_global(spark):
+    """Per-lang models must actually change the scores, with the expected
+    structure. NOTE on this corpus: the driver documents share ONE word
+    vocabulary across lang labels (there is no real distribution shift),
+    so a per-lang model's smaller training slice means a smaller
+    alphabet/sparser counts and the add-one smoothing penalty DOMINATES —
+    per-lang costs come out HIGHER, least so for en (the largest slice,
+    ~44% of the sample). The assertable signature is therefore: (a)
+    essentially every doc's score moves, and (b) en's mean per-bigram
+    penalty is strictly the smallest — i.e. each doc IS being scored by
+    its own lang's model, with sample size driving the penalty. On a real
+    multilingual corpus the deltas would flip sign for non-en langs; the
+    operator is the same either way."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _lm_models_by_lang, q_lm_perplexity_by_lang)
+
+    global_rows = {r.doc_id: r.total_millibits
+                   for r in q_lm_perplexity_buckets(spark, SF).collect()}
+    by_lang = q_lm_perplexity_by_lang(spark, SF).collect()
+    assert _lm_models_by_lang(spark, SF).keys() >= {"en", "de", "zh"}
+    deltas: dict = {}
+    for r in by_lang:
+        deltas.setdefault(r.lang, []).append(
+            (r.total_millibits - global_rows[r.doc_id])
+            / max(r.n_bigrams, 1))
+    moved = sum(1 for ds in deltas.values() for d in ds if d != 0)
+    assert moved > 0.95 * sum(len(ds) for ds in deltas.values())
+    mean = {lg: sum(ds) / len(ds) for lg, ds in deltas.items()}
+    assert all(mean["en"] < m for lg, m in mean.items() if lg != "en"), mean
+
+
+def test_per_lang_changes_at_least_one_bucket(spark):
+    """The realism gap the round-5 VERDICT names: under the per-lang
+    models at least one document's keep/flag/drop bucket must actually
+    change vs the global model (otherwise the operator is a no-op)."""
+    from martial_arts_ocr_spark.queries.corpus import q_lm_perplexity_by_lang
+
+    g = {r.doc_id: r.bucket
+         for r in q_lm_perplexity_buckets(spark, SF).collect()}
+    changed = [(r.doc_id, r.lang, g[r.doc_id], r.bucket)
+               for r in q_lm_perplexity_by_lang(spark, SF).collect()
+               if r.bucket != g[r.doc_id]]
+    assert changed, "per-lang models changed no bucket"
+
+
+def test_unseen_lang_falls_back_to_global(spark):
+    """A lang with no trained model scores under the global matrix —
+    exercised directly through the stacked-matrix UDF (driver data has a
+    model for every lang, so the fallback can't fire there)."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _lm_model, _lm_models_by_lang, _lm_score_by_lang_udf)
+
+    models = _lm_models_by_lang(spark, SF)
+    gcosts, gunk = _lm_model(spark, SF)
+    assert "xx" not in models
+    udf = _lm_score_by_lang_udf(models, gcosts, gunk)
+    df = spark.createDataFrame(
+        [("xx", "the quick brown fox"), ("en", "the quick brown fox"),
+         ("xx", None)],
+        "lang string, text string")
+    rows = {(r.lang, r.text): r.s
+            for r in df.select("lang", "text",
+                               udf(F.col("lang"), F.col("text"))
+                               .alias("s")).collect()}
+    assert rows[("xx", "the quick brown fox")] == _py_score(
+        "the quick brown fox", gcosts, gunk)
+    en_costs, en_unk = models["en"]
+    assert rows[("en", "the quick brown fox")] == _py_score(
+        "the quick brown fox", en_costs, en_unk)
+    assert rows[("xx", None)] == 0
