@@ -17,6 +17,10 @@ catalog.py) — into that flow:
 * ``dedup_new_snapshot`` anti-joins a new snapshot's band keys against
   the store BEFORE any in-snapshot dedup: rows sharing any (band,
   band_key) with history are flagged ``dup_vs_store``.
+* ``compact_signatures`` (round-5 VERDICT item 4) periodically
+  materializes the deduped store and the distinct pair index so the
+  per-ingest probe stops re-shuffling full history — see the
+  compaction-constants comment below for the layout and crash model.
 
 Scale shape: the store is an append-only table keyed by (band,
 band_key) — at 100 TB it is bucketed on that key so the new snapshot's
@@ -38,11 +42,39 @@ borderline near-dups. Both knobs are per-call arguments.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import catalog
 
 SIGNATURES_TABLE = "signatures"
+
+# Compaction artifacts (round-5 VERDICT item 4 — the read path used to
+# dropDuplicates over the FULL history and the probe re-distinct'd every
+# (band, band_key) row per ingest: a full shuffle of an ever-growing table
+# per new snapshot). ``compact_signatures`` materializes two generations:
+#   * ``signatures_compacted`` — the full-key-deduped provenance rows,
+#     clustered by (band, band_key); read_store unions it WITHOUT
+#     dropDuplicates (only the small uncompacted tail still dedups);
+#   * ``signatures_index`` — the distinct (band, band_key) PAIR index the
+#     probe joins against; post-compaction the probe's store side is a
+#     plain scan (no aggregate, no wide shuffle) plus at most a
+#     tail-sized distinct.
+# Each generation directory carries its coverage manifest INSIDE the
+# swapped dir (a ``_``-prefixed file — hidden from Spark's reader, and a
+# FILE, not a dir, so partition discovery is untouched), so an atomic
+# dir rename commits data+coverage together; the snapshot-log entry is
+# informational. Crash safety is the compact_table whole-directory-swap
+# discipline: tmp outside the table dir → old dir to trash → tmp in →
+# delete trash, with the read path restoring a missing dir from trash
+# under the same guarded-os.replace contract as catalog._recover.
+_COMPACTED_TABLE = "signatures_compacted"
+_INDEX_TABLE = "signatures_index"
+_MANIFEST = "_compaction_manifest.json"
+_FULL_KEY = ["snapshot", "doc_key", "band", "band_key"]
 
 
 def band_keys(docs: DataFrame, key_col: str = "doc_id",
@@ -58,6 +90,9 @@ def band_keys(docs: DataFrame, key_col: str = "doc_id",
 
 
 def appended_snapshots(root: str) -> set[str]:
+    # the raw dir (which holds the snapshot log) may be parked in trash by
+    # a compactor crash — restore before reading the log
+    _restore_from_trash(root, SIGNATURES_TABLE)
     return {
         s["snapshot"] for s in catalog.read_snapshots(root, SIGNATURES_TABLE)
         if s.get("op") == "append_signatures"
@@ -83,17 +118,180 @@ def append_snapshot_signatures(
     return True
 
 
+def _restore_from_trash(root: str, table: str) -> None:
+    """Narrow read-path recovery for the whole-table swap: a compactor
+    crash between old-dir→trash and tmp→dir leaves the table dir missing
+    with its last generation parked in trash — restore it. Guarded
+    os.replace (losing a race to a concurrent restorer or to the live
+    compactor's commit suppresses ENOENT/ENOTEMPTY; the compactor side
+    then fails loudly with both generations intact — a retry, never
+    loss). Never deletes compactor state (the catalog read-path rule)."""
+    import errno
+
+    path = catalog.table_path(root, table)
+    trash = os.path.join(catalog._scratch_dir(root, table), "gen_trash")
+    if os.path.isdir(path) or not os.path.isdir(trash):
+        return
+    try:
+        os.replace(trash, path)
+    except OSError as e:
+        if e.errno not in (errno.ENOENT, errno.ENOTEMPTY, errno.EEXIST):
+            raise
+
+
+def _swap_table_dir(root: str, table: str, tmp: str) -> None:
+    """Commit a new whole-table generation: old→trash, tmp→dir, rm trash
+    (each rename atomic; _restore_from_trash covers the middle window)."""
+    path = catalog.table_path(root, table)
+    trash = os.path.join(catalog._scratch_dir(root, table), "gen_trash")
+    shutil.rmtree(trash, ignore_errors=True)     # stale from a past crash
+    if os.path.isdir(path):
+        os.replace(path, trash)
+    os.replace(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _covered_snapshots(root: str, table: str) -> set[str] | None:
+    """Coverage manifest of a compacted generation; None if the table has
+    no committed generation."""
+    _restore_from_trash(root, table)
+    mpath = os.path.join(catalog.table_path(root, table), _MANIFEST)
+    if not os.path.isfile(mpath):
+        return None
+    with open(mpath, encoding="utf-8") as f:
+        return set(json.load(f)["snapshots"])
+
+
+def _pending_tail(spark: SparkSession, root: str,
+                  covered: set[str]) -> DataFrame | None:
+    """Raw-store rows from snapshots appended AFTER the last compaction —
+    full-key-deduped (the tail is the only part that still pays the
+    dedup; its size is bounded by the ingest cadence, not history)."""
+    pending = appended_snapshots(root) - covered
+    if not pending or not catalog.table_exists(root, SIGNATURES_TABLE):
+        return None
+    raw = catalog.read_table(spark, root, SIGNATURES_TABLE)
+    return (raw.where(F.col("snapshot").isin(sorted(pending)))
+            .dropDuplicates(_FULL_KEY))
+
+
 def read_store(spark: SparkSession, root: str) -> DataFrame | None:
     """The signature store with re-run duplicates collapsed (a crash
     between data write and log write re-appends byte-identical rows —
     dedup on the full key restores exact content, as read_metrics does).
     Returns None when no snapshot was ever signed (missing-table guard,
     the read_metrics discipline — round-5 review find: the bare read
-    crashed with PATH_NOT_FOUND on a fresh warehouse)."""
-    if not catalog.table_exists(root, SIGNATURES_TABLE):
-        return None
-    df = catalog.read_table(spark, root, SIGNATURES_TABLE)
-    return df.dropDuplicates(["snapshot", "doc_key", "band", "band_key"])
+    crashed with PATH_NOT_FOUND on a fresh warehouse).
+
+    Post-compaction the covered history reads from ``signatures_compacted``
+    WITHOUT dropDuplicates (rows are unique by construction; a snapshot is
+    either fully covered or fully in the raw tail, so no cross-set
+    duplicates exist); only the uncompacted tail still dedups."""
+    covered = _covered_snapshots(root, _COMPACTED_TABLE)
+    if covered is None:
+        if not catalog.table_exists(root, SIGNATURES_TABLE):
+            return None
+        df = catalog.read_table(spark, root, SIGNATURES_TABLE)
+        return df.dropDuplicates(_FULL_KEY)
+    compacted = catalog.read_table(spark, root, _COMPACTED_TABLE)
+    tail = _pending_tail(spark, root, covered)
+    return compacted if tail is None else compacted.unionByName(tail)
+
+
+def compact_signatures(spark: SparkSession, root: str) -> dict:
+    """Materialize the deduped, (band, band_key)-clustered store and the
+    distinct pair index, then shrink the raw table to its uncovered tail.
+
+    Single-writer maintenance op (compact_table's contract). Commit order
+    and crash windows: (1) both new generations are fully written to tmp
+    dirs OUTSIDE the table dirs, each with its coverage manifest inside —
+    a crash here leaves stale tmps, cleaned on the next run; (2) the
+    compacted dir swaps, then the index dir swaps — a crash between them
+    leaves the index one generation behind, and since each artifact
+    filters the raw tail by ITS OWN manifest, each remains exactly
+    consistent; (3) the raw table is rewritten to only-uncovered rows — a
+    crash before this leaves covered rows in raw, which every reader
+    excludes by manifest filter, so the worst case is disk space until
+    the next compaction. At 100 TB: one shuffle each for the dedup and
+    the pair-distinct per compaction (amortized over many ingests), and
+    every subsequent probe joins a scan-shaped index instead of
+    re-shuffling full history."""
+    store = read_store(spark, root)
+    if store is None:
+        return {"op": "compact_signatures", "n_rows": 0, "n_pairs": 0,
+                "snapshots": []}
+    snaps = sorted(appended_snapshots(root))
+    manifest = json.dumps({"snapshots": snaps})
+
+    def _write_gen(df: DataFrame, table: str) -> str:
+        sdir = catalog._scratch_dir(root, table)
+        tmp = os.path.join(sdir, "gen_tmp")
+        os.makedirs(sdir, exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.parquet(tmp)
+        with open(os.path.join(tmp, _MANIFEST), "w", encoding="utf-8") as f:
+            f.write(manifest)
+        return tmp
+
+    store = store.persist()
+    try:
+        n_rows = store.count()
+        compacted = (store.repartition("band")
+                     .sortWithinPartitions("band", "band_key"))
+        tmp_c = _write_gen(compacted, _COMPACTED_TABLE)
+        index = (store.select("band", "band_key").distinct()
+                 .repartition("band").sortWithinPartitions("band",
+                                                           "band_key"))
+        tmp_i = _write_gen(index, _INDEX_TABLE)
+        _swap_table_dir(root, _COMPACTED_TABLE, tmp_c)
+        _swap_table_dir(root, _INDEX_TABLE, tmp_i)
+    finally:
+        store.unpersist()
+    # shrink raw to the (usually empty) uncovered tail — schema-preserving
+    # (the filter keeps raw's schema in the part files) so the next append
+    # and every tail read keep working
+    if catalog.table_exists(root, SIGNATURES_TABLE):
+        raw = catalog.read_table(spark, root, SIGNATURES_TABLE)
+        tail = raw.where(~F.col("snapshot").isin(snaps))
+        sdir = catalog._scratch_dir(root, SIGNATURES_TABLE)
+        tmp_r = os.path.join(sdir, "gen_tmp")
+        os.makedirs(sdir, exist_ok=True)
+        shutil.rmtree(tmp_r, ignore_errors=True)
+        tail.write.parquet(tmp_r)
+        # the snapshot LOG lives inside the raw table dir
+        # (catalog._snapshot_path) — carry it into the new generation or
+        # the swap would erase exactly-once history (test-caught)
+        log = catalog._snapshot_path(root, SIGNATURES_TABLE)
+        if os.path.isfile(log):
+            shutil.copy2(log, os.path.join(
+                tmp_r, os.path.basename(log)))
+        _swap_table_dir(root, SIGNATURES_TABLE, tmp_r)
+    n_pairs = catalog.read_table(spark, root, _INDEX_TABLE).count()
+    meta = {"op": "compact_signatures", "n_rows": n_rows,
+            "n_pairs": n_pairs, "snapshots": snaps}
+    catalog.append_snapshot(root, SIGNATURES_TABLE, meta)
+    return meta
+
+
+def _store_pairs(spark: SparkSession, root: str) -> DataFrame | None:
+    """The probe's store side: distinct (band, band_key) pairs. With a
+    committed index generation this is a SCAN (the compaction already
+    paid the distinct); only pairs from snapshots appended since then add
+    a tail-sized distinct. Duplicate pairs across index ∪ tail are
+    harmless: the probe counts DISTINCT bands per doc, so multiplicity
+    never changes a verdict — deliberately no cross-set re-distinct
+    (that full shuffle is exactly what compaction removes)."""
+    covered = _covered_snapshots(root, _INDEX_TABLE)
+    if covered is None:
+        store_full = read_store(spark, root)
+        if store_full is None:
+            return None
+        return store_full.select("band", "band_key").distinct()
+    index = catalog.read_table(spark, root, _INDEX_TABLE)
+    tail = _pending_tail(spark, root, covered)
+    if tail is None:
+        return index
+    return index.unionByName(tail.select("band", "band_key").distinct())
 
 
 def dedup_new_snapshot(
@@ -106,13 +304,15 @@ def dedup_new_snapshot(
     ``dup_vs_store`` (≥ ``min_bands`` bands shared — see the module
     docstring's decision contract for the FP analysis behind the knob).
     Survivors = NOT dup_vs_store; in-snapshot dedup runs after, on
-    survivors only. An empty/never-signed store marks everything new."""
-    store_full = read_store(spark, root)
-    if store_full is None:
+    survivors only. An empty/never-signed store marks everything new.
+
+    Post-compaction the store side is the materialized pair index — a
+    plain scan, no aggregate — via ``_store_pairs``."""
+    store = _store_pairs(spark, root)
+    if store is None:
         return (docs
                 .withColumn("n_store_bands", F.lit(0).cast("bigint"))
                 .withColumn("dup_vs_store", F.lit(False)))
-    store = store_full.select("band", "band_key").distinct()
     keys = band_keys(docs, key_col, text_col)
     hits = (
         keys.join(store, ["band", "band_key"])
