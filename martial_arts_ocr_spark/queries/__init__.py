@@ -49,6 +49,7 @@ _GATE_HEAD = [
     # round-6 additions (first driver row required this round):
     "packed_sequences",
     "lm_perplexity_by_lang",
+    "embedding_quality_scores",
 ]
 
 _all_q: dict = {}

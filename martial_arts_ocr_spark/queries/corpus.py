@@ -934,27 +934,117 @@ ORDER BY source, rn
 """
 
 
+# --- embedding-based quality classifier (round-5 VERDICT item 6) --------------
+
+def _emb_score_col():
+    """round(bias + w . embedding, 6) as pure JVM column algebra: the
+    baked weights ride in the plan as an array literal, the dot product
+    is a left-to-right aggregate fold in double (the proven cross-engine
+    pairing with DuckDB list_dot_product — queries/similarity.py:60).
+    No UDF, no shuffle; fused into whatever scan hosts it."""
+    from ..emb_classifier import BIAS, SCORE_DECIMALS, WEIGHTS
+
+    w = F.array(*[F.lit(float(x)) for x in WEIGHTS])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), w, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot + F.lit(float(BIAS)), SCORE_DECIMALS)
+
+
+def _emb_bucket_col(score):
+    from ..emb_classifier import THRESH_DROP, THRESH_KEEP
+
+    return (F.when(score >= F.lit(THRESH_KEEP), F.lit("keep"))
+            .when(score < F.lit(THRESH_DROP), F.lit("drop"))
+            .otherwise(F.lit("flag")))
+
+
+def q_embedding_quality_scores(spark, sf_dir):
+    """Learned lightweight quality classifier over the embeddings table
+    (fasttext-style, the third production filter family after Gopher
+    rules and the LM filter). Weights are a deterministic offline
+    logistic fit on the fixture labels, baked as decimal literals —
+    martial_arts_ocr_spark/emb_classifier.py has the full determinism
+    contract (exact-IEEE affine scoring, no transcendentals at query
+    time; thresholds compared in logit space).
+
+    100 TB shape: map-only — one embeddings scan, score and bucket fused
+    into the projection, a single final sort for the oracle ordering."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    score = _emb_score_col()
+    return (
+        emb.select(
+            "vec_id", "label",
+            score.alias("emb_score"),
+            _emb_bucket_col(score).alias("emb_bucket"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _emb_weights_sql() -> str:
+    from ..emb_classifier import WEIGHTS
+
+    return "[" + ", ".join(repr(w) for w in WEIGHTS) + "]"
+
+
+def _emb_score_sql(col: str = "embedding") -> str:
+    from ..emb_classifier import BIAS, SCORE_DECIMALS
+
+    return (f"round(CAST(list_dot_product(CAST({col} AS DOUBLE[]), "
+            f"{_emb_weights_sql()}) AS DOUBLE) + {BIAS!r}, {SCORE_DECIMALS})")
+
+
+def _emb_drop_lit() -> str:
+    from ..emb_classifier import THRESH_DROP
+
+    return repr(THRESH_DROP)
+
+
+def _oracle_embedding_quality() -> str:
+    from ..emb_classifier import THRESH_DROP, THRESH_KEEP
+
+    return f"""
+SELECT vec_id, label,
+       {_emb_score_sql()} AS emb_score,
+       CASE WHEN {_emb_score_sql()} >= {THRESH_KEEP!r} THEN 'keep'
+            WHEN {_emb_score_sql()} < {THRESH_DROP!r} THEN 'drop'
+            ELSE 'flag' END AS emb_bucket
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 # --- the full curation pipeline as ONE declarative plan --------------------------
 
 def q_corpus_keep_set(spark, sf_dir):
     """The composition a real corpus user runs END-TO-END: per document,
-    the four independent gates — Gopher word-shape rules, the LM
+    the five independent gates — Gopher word-shape rules, the LM
     perplexity filter (drop bucket rejected), exact-dup survivorship
-    (min-doc_id-per-content-hash wins), and benchmark decontamination
-    (no shared 8-gram with the external probe view) — and the final
-    ``kept`` AND. Declared as one DataFrame plan so Catalyst fuses the
-    three map-only gates into the scan and the two join-shaped gates
-    stay a partial-agg self-group (dedup) and a broadcast semi-join
-    (decontam): at 100 TB the whole pipeline is one pass over the corpus
-    plus two small shuffles — not four jobs with three intermediate
-    materializations, which is how per-step pipelines usually ship.
+    (min-doc_id-per-content-hash wins), benchmark decontamination
+    (no shared 8-gram with the external probe view), and the learned
+    embedding classifier (drop bucket rejected; documents WITHOUT an
+    embedding row pass — you can't drop what you can't score, and at
+    sf0.1 only 2 of 5 documents are embedded) — and the final ``kept``
+    AND. Declared as one DataFrame plan so Catalyst fuses the map-only
+    gates into the scan and the join-shaped gates stay a partial-agg
+    self-group (dedup), a broadcast semi-join (decontam), and a
+    small-side equi-join carrying ONE boolean per embedded doc (the
+    classifier score collapses before the join — never 64 floats
+    through a shuffle): at 100 TB the whole pipeline is one pass over
+    the corpus plus three small shuffles — not five jobs with four
+    intermediate materializations, which is how per-step pipelines
+    usually ship.
 
     Every sub-gate is independently oracle-checked by its own registered
     query (gopher_quality_flags, lm_perplexity_buckets,
-    dedup_survivors, benchmark_contamination); this query's oracle
-    re-composes the same SQL pieces, so the composition logic itself —
-    join shapes, null handling at the boundaries, the AND — is what the
-    gate verifies here."""
+    dedup_survivors, benchmark_contamination,
+    embedding_quality_scores); this query's oracle re-composes the same
+    SQL pieces, so the composition logic itself — join shapes, null
+    handling at the boundaries, the AND — is what the gate verifies
+    here."""
     d = _docs(spark, sf_dir)
     gopher_pass = gopher_pass_expr()     # the shared gate definition
     costs, unk = _lm_model(spark, sf_dir)
@@ -976,19 +1066,29 @@ def q_corpus_keep_set(spark, sf_dir):
         q_benchmark_contamination(spark, sf_dir)
         .select("doc_id").withColumn("is_contam", F.lit(True))
     )
+    from ..emb_classifier import THRESH_DROP
+    emb_gate = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (_emb_score_col() >= F.lit(THRESH_DROP)).alias("emb_pass"),
+        )
+    )
     out = (
         base.join(survivors, "content_hash")
         .join(contaminated, "doc_id", "left")
+        .join(emb_gate, "doc_id", "left")
         .select(
             "doc_id",
             "gopher_pass",
             "lm_ok",
             (F.col("doc_id") == F.col("keep_doc_id")).alias("dup_survivor"),
             F.col("is_contam").isNull().alias("decontaminated"),
+            F.coalesce(F.col("emb_pass"), F.lit(True)).alias("emb_ok"),
         )
     )
     kept = (F.col("gopher_pass") & F.col("lm_ok") & F.col("dup_survivor")
-            & F.col("decontaminated"))
+            & F.col("decontaminated") & F.col("emb_ok"))
     return out.select("*", kept.alias("kept")).orderBy("doc_id")
 
 
@@ -1020,19 +1120,27 @@ surv AS (
 ),
 contam AS (
   SELECT DISTINCT doc_id FROM ({_CONTAM_BODY})
+),
+emb AS (
+  SELECT vec_id AS doc_id,
+         ({_emb_score_sql()} >= {_emb_drop_lit()}) AS emb_pass
+  FROM embeddings
 )
 SELECT g.doc_id,
        g.gopher_pass,
        (lm.bucket <> 'drop') AS lm_ok,
        (g.doc_id = s.keep_doc_id) AS dup_survivor,
        (c.doc_id IS NULL) AS decontaminated,
+       coalesce(e.emb_pass, TRUE) AS emb_ok,
        (g.gopher_pass AND lm.bucket <> 'drop'
-        AND g.doc_id = s.keep_doc_id AND c.doc_id IS NULL) AS kept
+        AND g.doc_id = s.keep_doc_id AND c.doc_id IS NULL
+        AND coalesce(e.emb_pass, TRUE)) AS kept
 FROM g
 JOIN t USING (doc_id)
 JOIN surv s ON s.content_hash = t.content_hash
 JOIN lm ON lm.doc_id = g.doc_id
 LEFT JOIN contam c ON c.doc_id = g.doc_id
+LEFT JOIN emb e ON e.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
 
@@ -1160,6 +1268,7 @@ FROM x GROUP BY bucket, seq ORDER BY bucket, seq_in_bucket
 QUERIES = {
     "packed_sequences": q_packed_sequences,
     "lm_perplexity_by_lang": q_lm_perplexity_by_lang,
+    "embedding_quality_scores": q_embedding_quality_scores,
     "corpus_keep_set": q_corpus_keep_set,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -1173,6 +1282,7 @@ QUERIES = {
 ORACLES = {
     "packed_sequences": _oracle_packed_sequences,
     "lm_perplexity_by_lang": _oracle_lm_by_lang,
+    "embedding_quality_scores": _oracle_embedding_quality,
     "corpus_keep_set": _oracle_corpus_keep_set,
     "lm_perplexity_buckets": _oracle_lm_perplexity,
     "gopher_quality_flags": ORACLE_GOPHER,

@@ -120,3 +120,25 @@ def test_lsh_sign_margins(sf):
     proj = X @ _lsh_planes(X.shape[1]).T
     assert _boundary_dist(proj, 7).min() > _WOBBLE_MARGIN, sf
     assert np.abs(np.round(proj, 7)).min() > 1e-7, sf
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_emb_classifier_score_margins(sf):
+    """embedding_quality_scores rounds the affine score to 6 decimals and
+    buckets at 0.05/-0.45 — audit (a) no raw score near a round-6 half
+    boundary (cross-engine sum-order hazard) and (b) no ROUNDED score
+    within 1e-5 of a bucket threshold (regen-drift canary; rounded scores
+    are identical doubles cross-engine so this one is not a correctness
+    hazard, just an early warning that a refit landed a doc on a knife
+    edge)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark import emb_classifier as ec
+
+    _, X = _embeddings(sf)
+    s = ec.np_scores(X)
+    assert _boundary_dist(s, ec.SCORE_DECIMALS).min() > _WOBBLE_MARGIN, sf
+    sr = np.round(s, ec.SCORE_DECIMALS)
+    for t in (ec.THRESH_KEEP, ec.THRESH_DROP):
+        assert np.abs(sr - t).min() > 1e-5, (sf, t)

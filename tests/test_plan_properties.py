@@ -146,6 +146,16 @@ def test_round5_operator_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_quality_scores_map_only_shape(spark):
+    """The learned classifier is pure column algebra: weights are plan
+    literals, scoring fuses into the embeddings scan — no UDF, no join,
+    and the only exchange is the presentation sort."""
+    plan = _plan(spark, "embedding_quality_scores")
+    assert "Join" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") <= 1, plan[:800]
+
+
 def test_corpus_keep_set_single_pass_shape(spark):
     """The composed curation pipeline must stay one pass over the corpus:
     map-only gates fused into the scan, decontamination via broadcast
