@@ -133,9 +133,43 @@ def _scan_split_bytes(sf_dir: str, cpus: int) -> int:
     return min(max(biggest // (2 * cpus), 2 << 20), 128 << 20)
 
 
+def kernel_anchor(n_pages: int = 500, reps: int = 5) -> dict:
+    """Single-process kernel docs/s, measured BEFORE any Spark work.
+
+    Round-5 lesson (BASELINE.md): this box transiently degrades ~0.77×
+    for ~40-minute windows; a load-independent single-proc anchor taken
+    at session start is the only way to tell host drift from a code
+    regression afterwards. Recording it IN the bench JSON (round-5
+    VERDICT item 7) makes the driver-run-vs-builder-run delta
+    machine-auditable: two runs whose anchors differ by X are expected
+    to differ by ~X on every Spark number too, with zero code delta.
+    """
+    from martial_arts_ocr_spark.fixtures.gen_pages import pages_pandas
+    from martial_arts_ocr_spark.kernel.pipeline import extract_document
+
+    pdf = pages_pandas(n_pages)
+    pairs = list(zip(pdf["url"], pdf["html"]))
+    for url, html in pairs[:50]:        # warm code paths / allocator
+        extract_document(url, html)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for url, html in pairs:
+            extract_document(url, html)
+        best = min(best, time.perf_counter() - t0)
+    return {"docs_per_sec": round(n_pages / best, 1), "n_docs": n_pages,
+            "best_of": reps,
+            "r4_reference_docs_per_sec": 822.0,
+            "method": "pure-Python kernel loop, one process, no Spark; "
+                      "best-of-%d over the %d-page synthetic fixture, "
+                      "measured before session start" % (reps, n_pages)}
+
+
 def main() -> None:
     from martial_arts_ocr_spark.engine.session import build_session
     from martial_arts_ocr_spark.queries import ALL_QUERIES
+
+    anchor = kernel_anchor()
 
     spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS,
                           app_name="bench", extra_conf={
@@ -164,6 +198,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": _sf_label(SF_DIR),
+        "host_anchor": anchor,
     }
 
     # north-star extraction throughput at the bench parallelism

@@ -50,6 +50,8 @@ _GATE_HEAD = [
     "packed_sequences",
     "lm_perplexity_by_lang",
     "embedding_quality_scores",
+    "curation_funnel",
+    "packed_epoch_order",
 ]
 
 _all_q: dict = {}

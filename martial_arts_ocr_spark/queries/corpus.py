@@ -1145,6 +1145,53 @@ ORDER BY g.doc_id
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The per-source gate funnel — the report every curation run ends
+    with: for each source, how many documents entered, how many passed
+    each of the five gates independently, and how many survived the
+    final AND. Built ON TOP of the composed keep-set plan (one extra
+    small join to recover ``source`` + a partial-agg groupBy), so the
+    numbers are definitionally consistent with corpus_keep_set.
+
+    100 TB shape: the keep-set's one-corpus-pass plan, plus a map-side
+    partial aggregation down to |sources| rows — the funnel itself
+    shuffles almost nothing."""
+    flags = q_corpus_keep_set(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+
+    def n(col):
+        return F.sum(F.col(col).cast("bigint")).alias("n_" + col)
+
+    return (
+        flags.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             n("gopher_pass"), n("lm_ok"), n("dup_survivor"),
+             n("decontaminated"), n("emb_ok"), n("kept"))
+        .orderBy("source")
+    )
+
+
+def _oracle_curation_funnel() -> str:
+    return f"""
+WITH k AS ({_oracle_corpus_keep_set()})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN k.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_pass,
+       CAST(sum(CASE WHEN k.lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_ok,
+       CAST(sum(CASE WHEN k.dup_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_survivor,
+       CAST(sum(CASE WHEN k.decontaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decontaminated,
+       CAST(sum(CASE WHEN k.emb_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_ok,
+       CAST(sum(CASE WHEN k.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM k JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # --- tokenize-and-pack output stage (round-5 VERDICT item 1) ------------------
 
 def q_packed_sequences(spark, sf_dir):
@@ -1265,8 +1312,77 @@ FROM x GROUP BY bucket, seq ORDER BY bucket, seq_in_bucket
 """
 
 
+# --- deterministic epoch shuffle over packed sequences ------------------------
+
+_N_EPOCHS = 2
+
+
+def q_packed_epoch_order(spark, sf_dir):
+    """The 'deterministically shuffled' tail of the tokenize-and-pack
+    spec: a per-epoch permutation of the packed sequences that every
+    engine, rerun, and reader derives identically — md5(epoch:bucket:
+    seq) as the shuffle key (the same no-rand() discipline as
+    train_val_split), materialized as a rank WITHIN each (epoch, bucket)
+    shard. Global training order is the standard shard contract: read
+    shards round-robin; there is deliberately NO global row_number (a
+    single-partition window is the 100 TB scale-killer — each bucket's
+    permutation is independent and parallel).
+
+    Output: (epoch, bucket, pos_in_bucket, seq_in_bucket, shuffle_key)
+    — a reader seeks shard `bucket`, position `pos_in_bucket`."""
+    from pyspark.sql import Window
+
+    seqs = q_packed_sequences(spark, sf_dir)
+    x = seqs.select(
+        "bucket", "seq_in_bucket",
+        F.explode(F.array(*[F.lit(e) for e in range(_N_EPOCHS)]))
+        .alias("epoch"),
+    ).select(
+        "epoch", "bucket", "seq_in_bucket",
+        F.md5(F.concat_ws(
+            ":", F.col("epoch").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("seq_in_bucket").cast("string"),
+        )).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy(
+        "shuffle_key", "seq_in_bucket")
+    return (
+        x.select(
+            "epoch", "bucket",
+            F.row_number().over(w).cast("bigint").alias("pos_in_bucket"),
+            "seq_in_bucket", "shuffle_key",
+        )
+        .orderBy("epoch", "bucket", "pos_in_bucket")
+    )
+
+
+def _oracle_packed_epoch_order() -> str:
+    epochs = ", ".join(str(e) for e in range(_N_EPOCHS))
+    return f"""
+WITH p AS ({_oracle_packed_sequences()}),
+e AS (SELECT unnest([{epochs}]) AS epoch),
+x AS (
+  SELECT e.epoch, p.bucket, p.seq_in_bucket,
+         md5(CAST(e.epoch AS VARCHAR) || ':' ||
+             CAST(p.bucket AS VARCHAR) || ':' ||
+             CAST(p.seq_in_bucket AS VARCHAR)) AS shuffle_key
+  FROM p CROSS JOIN e
+)
+SELECT epoch, bucket,
+       CAST(row_number() OVER (PARTITION BY epoch, bucket
+                               ORDER BY shuffle_key, seq_in_bucket)
+            AS BIGINT) AS pos_in_bucket,
+       seq_in_bucket, shuffle_key
+FROM x
+ORDER BY epoch, bucket, pos_in_bucket
+"""
+
+
 QUERIES = {
     "packed_sequences": q_packed_sequences,
+    "curation_funnel": q_curation_funnel,
+    "packed_epoch_order": q_packed_epoch_order,
     "lm_perplexity_by_lang": q_lm_perplexity_by_lang,
     "embedding_quality_scores": q_embedding_quality_scores,
     "corpus_keep_set": q_corpus_keep_set,
@@ -1281,6 +1397,8 @@ QUERIES = {
 
 ORACLES = {
     "packed_sequences": _oracle_packed_sequences,
+    "curation_funnel": _oracle_curation_funnel,
+    "packed_epoch_order": _oracle_packed_epoch_order,
     "lm_perplexity_by_lang": _oracle_lm_by_lang,
     "embedding_quality_scores": _oracle_embedding_quality,
     "corpus_keep_set": _oracle_corpus_keep_set,

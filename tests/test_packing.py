@@ -130,3 +130,34 @@ def test_packer_matches_registered_stats_query(spark):
               for r in packing.pack_token_sequences(kept).collect()]
     assert sorted(stats) == sorted(packed)
     assert len(stats) > 10
+
+
+def test_epoch_order_is_a_per_shard_permutation(spark):
+    """packed_epoch_order emits, per (epoch, bucket), a contiguous
+    1..n rank over exactly the bucket's sequences — and the two epochs'
+    permutations actually differ (the md5 key mixes the epoch)."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        q_packed_epoch_order,
+        q_packed_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seqs = {}
+    for r in q_packed_sequences(spark, sf).collect():
+        seqs.setdefault(r["bucket"], set()).add(r["seq_in_bucket"])
+    by_shard = {}
+    for r in q_packed_epoch_order(spark, sf).collect():
+        by_shard.setdefault((r["epoch"], r["bucket"]), []).append(
+            (r["pos_in_bucket"], r["seq_in_bucket"]))
+    assert {b for _, b in by_shard} == set(seqs)
+    for (epoch, bucket), rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1))
+        assert {s for _, s in rows} == seqs[bucket], (epoch, bucket)
+    orders = [
+        [s for _, s in sorted(by_shard[(e, b)])]
+        for e in (0, 1)
+        for b in sorted(seqs)
+    ]
+    half = len(orders) // 2
+    assert orders[:half] != orders[half:], "epoch permutations identical"

@@ -168,6 +168,24 @@ def test_corpus_keep_set_single_pass_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_curation_funnel_and_epoch_order_shapes(spark):
+    """The funnel adds one equi-join + a partial-agg groupBy on top of
+    the keep-set plan (still cartesian-free, still one Arrow UDF); the
+    epoch shuffle must contain NO single-partition window — the rank is
+    per (epoch, bucket) shard, which is the whole 100 TB point."""
+    plan = _plan(spark, "curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+    plan = _plan(spark, "packed_epoch_order")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Window in the plan is partitioned (a global row_number would
+    # show an empty partition spec / SinglePartition exchange)
+    assert "SinglePartition" not in plan, plan[:1200]
+
+
 def test_packed_sequences_two_shuffle_shape(spark):
     """Tokenize-and-pack stays the claimed 100 TB shape: split filter
     pushed below the UDF, ONE ArrowEvalPython stage, ONE bucket exchange
