@@ -52,6 +52,8 @@ _GATE_HEAD = [
     "embedding_quality_scores",
     "curation_funnel",
     "packed_epoch_order",
+    "source_mixing_weights",
+    "embedding_classifier_eval",
 ]
 
 _all_q: dict = {}

@@ -1017,6 +1017,49 @@ ORDER BY vec_id
 """
 
 
+def q_embedding_classifier_eval(spark, sf_dir):
+    """Calibration report for the learned quality classifier — the eval
+    loop a real filter ships with: fixed-width score bins vs the fixture
+    labels. Bin width 0.25 is a power of two, so ``floor(score / 0.25)``
+    is exact on the identical rounded-score doubles both engines carry;
+    the output is ALL integers (counts, not rates — a rounded ratio with
+    an uncontrolled denominator is the banker's-rounding trap, CLAUDE.md
+    round 2).
+
+    100 TB shape: map-only over the embeddings scan + a partial-agg
+    groupBy on ~10 bins."""
+    from ..emb_classifier import POSITIVE_LABELS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    score = _emb_score_col()
+    is_pos = F.col("label").isin(*sorted(POSITIVE_LABELS))
+    return (
+        emb.select(
+            F.floor(score / F.lit(0.25)).cast("bigint").alias("score_bin"),
+            is_pos.cast("bigint").alias("pos"),
+        )
+        .groupBy("score_bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("pos").alias("n_pos"))
+        .orderBy("score_bin")
+    )
+
+
+def _oracle_classifier_eval() -> str:
+    from ..emb_classifier import POSITIVE_LABELS
+
+    labels = ", ".join(str(x) for x in sorted(POSITIVE_LABELS))
+    return f"""
+SELECT CAST(floor({_emb_score_sql()} / 0.25) AS BIGINT) AS score_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN label IN ({labels}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos
+FROM embeddings
+GROUP BY 1
+ORDER BY score_bin
+"""
+
+
 # --- the full curation pipeline as ONE declarative plan --------------------------
 
 def q_corpus_keep_set(spark, sf_dir):
@@ -1312,6 +1355,86 @@ FROM x GROUP BY bucket, seq ORDER BY bucket, seq_in_bucket
 """
 
 
+# --- temperature-scaled source mixing weights ---------------------------------
+
+_MIX_QUOTA_SCALE = 100_000     # quota granularity (integer cross-multiplied)
+
+
+def q_source_mixing_weights(spark, sf_dir):
+    """Data-mixture weights per source at temperature T=2 (alpha=0.5,
+    the sqrt rule used by multilingual/multi-source training mixtures):
+    sampling weight proportional to sqrt(source token count) — big
+    sources damped, small sources boosted.
+
+    Cross-engine determinism without a float summation: each source's
+    sqrt is quantized to integer micro-units FIRST
+    (``floor(sqrt(tokens) * 1e6)`` — sqrt and multiply are single
+    correctly-rounded IEEE ops on identical inputs, floor of the same
+    double is the same integer), then the normalizing total is an
+    INTEGER sum (order-free, unlike a double fold), and the published
+    quota is integer cross-multiplication ``q * SCALE // total``. The
+    float ``mix_weight`` divides the SAME two integers in both engines
+    — identical operands, identical double.
+
+    100 TB shape: one partial-agg groupBy(source) down to |sources|
+    rows; the windowed total runs over that tiny aggregate (the O(K)
+    control-flow pattern, not a data-sized single partition)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.sum(tokens).alias("total_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source", "n_docs", "total_tokens",
+            F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1e6)
+            .cast("bigint").alias("sqrt_micro"),
+        )
+    )
+    total = F.sum("sqrt_micro").over(
+        Window.partitionBy())          # |sources| rows — O(K) control flow
+    return (
+        per_src.select(
+            "source", "n_docs", "total_tokens", "sqrt_micro",
+            F.round(F.col("sqrt_micro") / total, 6).alias("mix_weight"),
+            # floor of the SAME double division both engines (a bigint
+            # '//' here would be DuckDB-exact but Spark-double — the
+            # identical-operand rule instead: q*SCALE < 2^53 so the
+            # double conversion is exact, then one rounded divide)
+            F.floor(F.col("sqrt_micro") * F.lit(_MIX_QUOTA_SCALE) / total)
+            .cast("bigint").alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXING = f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs, total_tokens,
+         CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+           AS sqrt_micro
+  FROM s
+)
+SELECT source, n_docs, total_tokens, sqrt_micro,
+       round(CAST(sqrt_micro AS DOUBLE) / (SELECT sum(sqrt_micro) FROM q), 6)
+         AS mix_weight,
+       CAST(floor(CAST(sqrt_micro * {_MIX_QUOTA_SCALE} AS DOUBLE)
+                  / CAST((SELECT sum(sqrt_micro) FROM q) AS DOUBLE))
+            AS BIGINT) AS quota
+FROM q
+ORDER BY source
+"""
+
+
 # --- deterministic epoch shuffle over packed sequences ------------------------
 
 _N_EPOCHS = 2
@@ -1383,6 +1506,8 @@ QUERIES = {
     "packed_sequences": q_packed_sequences,
     "curation_funnel": q_curation_funnel,
     "packed_epoch_order": q_packed_epoch_order,
+    "source_mixing_weights": q_source_mixing_weights,
+    "embedding_classifier_eval": q_embedding_classifier_eval,
     "lm_perplexity_by_lang": q_lm_perplexity_by_lang,
     "embedding_quality_scores": q_embedding_quality_scores,
     "corpus_keep_set": q_corpus_keep_set,
@@ -1399,6 +1524,8 @@ ORACLES = {
     "packed_sequences": _oracle_packed_sequences,
     "curation_funnel": _oracle_curation_funnel,
     "packed_epoch_order": _oracle_packed_epoch_order,
+    "source_mixing_weights": ORACLE_MIXING,
+    "embedding_classifier_eval": _oracle_classifier_eval,
     "lm_perplexity_by_lang": _oracle_lm_by_lang,
     "embedding_quality_scores": _oracle_embedding_quality,
     "corpus_keep_set": _oracle_corpus_keep_set,

@@ -70,3 +70,26 @@ def test_variant_offsets_cannot_collide():
             f"read_parquet('/root/testdata/{sf}/documents.parquet')"
         ).fetchone()[0]
         assert mx < 100000, (sf, mx)
+
+
+def test_source_mixing_weights_properties(spark):
+    """Mixture invariants at sf0.001: weights sum to ~1, integer quotas
+    sum to <= SCALE (floor never over-allocates), every source gets a
+    positive quota, and the sqrt rule actually damps: the largest
+    source's weight share is strictly below its raw token share."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _MIX_QUOTA_SCALE,
+        q_source_mixing_weights,
+    )
+
+    rows = q_source_mixing_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["quota"] for r in rows) <= _MIX_QUOTA_SCALE
+    assert all(r["quota"] > 0 for r in rows)
+    tok_total = sum(r["total_tokens"] for r in rows)
+    big = max(rows, key=lambda r: r["total_tokens"])
+    assert big["mix_weight"] < big["total_tokens"] / tok_total
+    # and boosts: the smallest source's share exceeds its raw share
+    small = min(rows, key=lambda r: r["total_tokens"])
+    assert small["mix_weight"] > small["total_tokens"] / tok_total
