@@ -230,7 +230,13 @@ def main() -> None:
                       "rounds, round-5 refresh on the recovered box "
                       "(BASELINE.md round 5 records BOTH this and the "
                       "degraded-window sample, median 0.879; harness and "
-                      "measured code byte-identical to round 4); "
+                      "measured code byte-identical to round 4 AND to "
+                      "round 6 — the round-6 re-measure landed on an "
+                      "unstable-host day, anchors 963->785 mid-run, "
+                      "median 0.719 with 0.50-1.17 pair spread; "
+                      "BASELINE.md round 6 records it with the anchor "
+                      "narrative and keeps this quiet-box sample as the "
+                      "numbers of record); "
                       "symmetric outlier reporting per round-3 ADVICE",
             "lo_docs_per_sec": 1469.4,     # the median round's pair
             "hi_docs_per_sec": 5443.7,
