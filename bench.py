@@ -222,27 +222,31 @@ def main() -> None:
         # Harness and measured code are byte-identical to round 4, whose
         # final-harness sample was
         # [0.844, 0.927, 0.959, 0.953, 0.900, 0.871, 0.802] median 0.900.
-        rounds_quiet = [0.926, 0.845, 0.939, 0.939, 0.891, 0.748, 0.935]
-        rounds_sorted = sorted(rounds_quiet)
+        # Round-6 numbers of record: INTERLEAVED lo/hi alternations
+        # (run_scaling_interleaved — the kernel-A/B rule applied to the
+        # scaling pair after sequential pairs proved host-window-
+        # confounded on a cycling host; BASELINE.md round 6 has all four
+        # samples, per-pair anchors, and the day-pooled 0.950 floor
+        # estimate). r5 quiet-box sequential sample (code-identical):
+        # median 0.926 over [0.926, 0.845, 0.939, 0.939, 0.891, 0.748,
+        # 0.935], lo 1469.4 / hi 5443.7.
+        rounds_r6 = [0.782, 0.646, 1.247, 0.943]
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
-                      "uniform input files, best-of-3 per level, 7 paired "
-                      "rounds, round-5 refresh on the recovered box "
-                      "(BASELINE.md round 5 records BOTH this and the "
-                      "degraded-window sample, median 0.879; harness and "
-                      "measured code byte-identical to round 4 AND to "
-                      "round 6 — the round-6 re-measure landed on an "
-                      "unstable-host day, anchors 963->785 mid-run, "
-                      "median 0.719 with 0.50-1.17 pair spread; "
-                      "BASELINE.md round 6 records it with the anchor "
-                      "narrative and keeps this quiet-box sample as the "
-                      "numbers of record); "
-                      "symmetric outlier reporting per round-3 ADVICE",
-            "lo_docs_per_sec": 1469.4,     # the median round's pair
-            "hi_docs_per_sec": 5443.7,
-            "efficiency": _median(rounds_quiet),
-            "efficiency_sym_trimmed": _median(rounds_sorted[1:-1]),
-            "paired_rounds": rounds_quiet,
+                      "uniform input files, best-of-3 per measurement, 3 "
+                      "INTERLEAVED lo/hi alternations per pair with best "
+                      "per side, 4 pairs, session anchors 922->946 "
+                      "docs/s single-proc (healthy); sequential-pair "
+                      "sample same day median 0.837; day-pooled "
+                      "best-per-side floor 0.950 (best lo 1494, best hi "
+                      "5675 over 27 draws/side); r5 code-identical "
+                      "quiet-box sequential median 0.926; symmetric "
+                      "outlier reporting per round-3 ADVICE",
+            "lo_docs_per_sec": 1412.9,     # the median pair's best side
+            "hi_docs_per_sec": 5327.1,
+            "efficiency": _median(rounds_r6),
+            "efficiency_sym_trimmed": _median(sorted(rounds_r6)[1:-1]),
+            "paired_rounds": rounds_r6,
         }
 
     print(json.dumps(result))

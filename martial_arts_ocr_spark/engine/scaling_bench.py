@@ -128,5 +128,38 @@ def run_scaling(pages_path: str = "/tmp/spark_graft_scaling_pages",
     }
 
 
+def run_scaling_interleaved(
+        pages_path: str = "/tmp/spark_graft_scaling_pages",
+        n_docs: int = 32000, alternations: int = 3) -> dict:
+    """The sequential pair's weakness on a host whose throughput cycles
+    on minute timescales (observed round 6: single-proc anchor swinging
+    531-963 docs/s within one hour) is that lo and hi sample DIFFERENT
+    host windows ~2 minutes apart — the ratio then measures the host
+    cycle, not the engine. Same fix as the kernel A/B rule (CLAUDE.md
+    round 2: interleave both variants): alternate lo,hi,lo,hi,... and
+    take the best per side, so both sides get a draw from the host's
+    good windows before the ratio is formed."""
+    pages_path = f"{pages_path}_{n_docs}"
+    prepare_pages(pages_path, n_docs)
+    lo_runs, hi_runs = [], []
+    for _ in range(alternations):
+        lo_runs.append(_measure("local-cluster[1,2,4096]", 8, pages_path))
+        hi_runs.append(_measure("local-cluster[4,2,4096]", 32, pages_path))
+    lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    return {
+        "method": "local-cluster N=1x2 vs 4N=4x2 executor JVMs, uniform "
+                  "input files, full warmup, best-of-3 per measurement, "
+                  f"{alternations} INTERLEAVED lo/hi alternations with "
+                  "best-per-side (host-cycle-robust ratio)",
+        "n_executors_lo": 1, "n_executors_hi": 4, "cores_per_executor": 2,
+        "lo": lo, "hi": hi,
+        "lo_all_docs_per_sec": [r["docs_per_sec"] for r in lo_runs],
+        "hi_all_docs_per_sec": [r["docs_per_sec"] for r in hi_runs],
+        "efficiency": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
     print(json.dumps(run_scaling(), indent=1))
