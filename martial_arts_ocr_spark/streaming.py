@@ -144,3 +144,66 @@ def windowed_quality_metrics(extracted: DataFrame,
             "quality", "n_docs", "n_chars",
         )
     )
+
+
+def dedup_stream(docs: DataFrame, n_groups: int = 16,
+                 idle_ttl_ms: int = 60 * 60 * 1000) -> DataFrame:
+    """Stateful exact-dedup gate over a document stream — the continuous
+    analogue of the batch snapshot dedup (engine/sigstore.py): the FIRST
+    occurrence of a content hash in the stream's retention window passes
+    (``is_dup = false``); later occurrences are flagged.
+
+    Keying: content hashes are sharded into ``n_groups`` state groups by
+    md5 prefix, so state updates parallelize and no group holds the whole
+    corpus — the same (band, band_key)-style bucketing as the signature
+    store, minus the bands (exact, not near, dedup).
+
+    Retention contract (the honest part): state per group grows with the
+    UNIQUE document count, so an unbounded stream needs a window — idle
+    groups are evicted after ``idle_ttl_ms`` (processing-time timeout).
+    A duplicate arriving after its group was evicted is NOT caught here;
+    it IS caught by the downstream batch path (sigstore anti-join over
+    the persistent store). Stream dedup = fast-path within the retention
+    window; store dedup = the durable guarantee. Emitted rows are
+    append-mode safe (each input doc yields exactly one verdict row).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+    ).select(
+        "doc_id", "content_hash",
+        (F.conv(F.substring("content_hash", 1, 2), 16, 10)
+         .cast("int") % n_groups).alias("grp"),
+    )
+
+    out_schema = "doc_id long, content_hash string, is_dup boolean"
+    state_schema = "seen array<string>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()                  # retention-window eviction
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        ids, hashes, flags = [], [], []
+        for pdf in pdfs:
+            for doc_id, h in zip(pdf["doc_id"], pdf["content_hash"]):
+                ids.append(int(doc_id))
+                hashes.append(h)
+                flags.append(h in seen)
+                seen.add(h)                 # in-batch dups flag too
+        state.update((sorted(seen),))
+        state.setTimeoutDuration(idle_ttl_ms)
+        yield pd.DataFrame({
+            "doc_id": ids, "content_hash": hashes, "is_dup": flags,
+        })
+
+    return (
+        keyed.groupBy("grp")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
