@@ -1,0 +1,185 @@
+"""Resumable end-to-end curation runner: gates -> kept set -> tokenize-
+and-pack, with per-bucket checkpoints — the corpus-level counterpart of
+the page-extraction runner (resume.py; reference parity: the reference's
+persistence/status surface, src/martial_arts_ocr/db/models.py, re-shaped
+for a training-data pipeline).
+
+Stages:
+
+1. **Gate stage** — the five-gate keep-set (queries/corpus.py:
+   q_corpus_keep_set — Gopher + LM + exact-dup survivorship +
+   decontamination + embedding classifier, ONE Catalyst plan) is
+   materialized once per run under ``curation_flags/run_id=<id>`` and
+   snapshot-logged; a resume that finds the snapshot skips the whole
+   stage.
+2. **Pack stage** — kept documents are packed per content-hash bucket
+   (packing.py: bucket is the unit of parallelism AND determinism) in
+   waves of ``batch_size`` buckets; each wave writes its bucket
+   partitions atomically (tmp + rename, idempotent re-run), appends a
+   snapshot, then commits checkpoint rows — the checkpoint write is the
+   commit point, exactly as in resume.py's wave protocol. Resume skips
+   completed buckets; because packing is a pure function of a bucket's
+   documents, output bytes are identical across batch_size choices,
+   parallelism levels, and crash/resume boundaries (pinned in
+   tests/test_curate_runner.py).
+
+Config pinning: semantic knobs that shape output (ctx_len, n_buckets,
+merge-table size) are pinned in ``_curate_<run_id>.json``; resuming with
+different values is refused (round-5 lesson: pin every knob that shapes
+restart-stable ids). batch_size is deliberately NOT pinned — wave
+composition cannot reach the per-bucket pure packer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import catalog
+from ..packing import CTX_LEN, N_BUCKETS, pack_token_sequences, \
+    content_hash_col, pack_bucket_col
+
+CURATION_TABLE = "curation_flags"
+PACKED_TABLE = "packed_sequences"
+PACKED_CKPT_TABLE = "packed_checkpoints"
+
+
+def _pin_path(root: str, run_id: str) -> str:
+    return os.path.join(root, f"_curate_{run_id}.json")
+
+
+def _pin_config(root: str, run_id: str, cfg: dict) -> None:
+    p = _pin_path(root, run_id)
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as f:
+            pinned = json.load(f)
+        if pinned != cfg:
+            raise ValueError(
+                f"resume with different curation config: pinned {pinned}, "
+                f"got {cfg} — packed output would not be comparable")
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, p)
+
+
+def _flags_path(root: str, run_id: str) -> str:
+    return os.path.join(catalog.table_path(root, CURATION_TABLE),
+                        f"run_id={run_id}")
+
+
+def completed_pack_buckets(spark: SparkSession, root: str,
+                           run_id: str) -> set[int]:
+    path = catalog.table_path(root, PACKED_CKPT_TABLE)
+    if not os.path.isdir(path):
+        return set()
+    rows = (spark.read.parquet(path)
+            .where((F.col("run_id") == run_id)
+                   & (F.col("status") == "completed"))
+            .select("bucket").distinct().collect())
+    return {int(r["bucket"]) for r in rows}
+
+
+def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
+               batch_size: int = 4, n_buckets: int = N_BUCKETS,
+               ctx_len: int = CTX_LEN, max_waves: int | None = None) -> dict:
+    """Run (or resume) the curation pipeline; returns a summary dict.
+
+    ``docs_dir`` must hold ``documents.parquet`` and
+    ``embeddings.parquet`` (the keep-set's five gates read both).
+    ``max_waves`` bounds this invocation's pack waves — the crash-test
+    hook (same role as stopping run_checkpointed mid-run)."""
+    from ..bpe_merges_1k import BPE_MERGES_1K
+    from ..queries.corpus import q_corpus_keep_set
+
+    _pin_config(root, run_id, {
+        "n_buckets": n_buckets, "ctx_len": ctx_len,
+        "n_merges": len(BPE_MERGES_1K),
+    })
+
+    # --- stage 1: gate flags, once per run --------------------------------
+    flags_done = any(s.get("run_id") == run_id and s.get("stage") == "flags"
+                     for s in catalog.read_snapshots(root, CURATION_TABLE))
+    fpath = _flags_path(root, run_id)
+    if not flags_done:
+        flags = q_corpus_keep_set(spark, docs_dir)
+        flags.write.mode("overwrite").parquet(fpath)   # idempotent re-run
+        catalog.append_snapshot(root, CURATION_TABLE,
+                                {"run_id": run_id, "stage": "flags"})
+    flags = spark.read.parquet(fpath)
+
+    # --- stage 2: pack kept docs per bucket, waves with checkpoints -------
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    kept = docs.join(flags.where(F.col("kept")).select("doc_id"), "doc_id")
+
+    done = completed_pack_buckets(spark, root, run_id)
+    remaining = [b for b in range(n_buckets) if b not in done]
+    packed_path = catalog.table_path(root, PACKED_TABLE)
+    waves = [remaining[i:i + batch_size]
+             for i in range(0, len(remaining), batch_size)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    bucket = pack_bucket_col(content_hash_col(), n_buckets)
+    for wave_no, wave in enumerate(waves):
+        sub = kept.where(bucket.isin([int(b) for b in wave]))
+        packed = pack_token_sequences(sub, ctx_len=ctx_len,
+                                      n_buckets=n_buckets)
+        tmp = os.path.join(root, f"_pack_tmp_{run_id}_{wave[0]}")
+        (packed.withColumn("run_id", F.lit(run_id))
+         .repartition(len(wave), "bucket")
+         .sortWithinPartitions("bucket", "seq_in_bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+        os.makedirs(packed_path, exist_ok=True)
+        for b in wave:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(packed_path, f"bucket={b}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)        # idempotent wave re-run
+                os.replace(src, dst)
+            else:
+                # a bucket with zero kept docs still completes: emit the
+                # empty partition dir so resume marks it done
+                os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        sid = catalog.append_snapshot(root, PACKED_TABLE, {
+            "run_id": run_id, "wave": wave_no,
+            "buckets": [int(b) for b in wave],
+        })
+        ckpt = spark.createDataFrame(
+            [(run_id, int(b), sid, "completed") for b in wave],
+            "run_id string, bucket int, snapshot_id string, status string",
+        )
+        ckpt.write.mode("append").parquet(
+            catalog.table_path(root, PACKED_CKPT_TABLE))
+
+    done_after = completed_pack_buckets(spark, root, run_id)
+    summary = {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_completed": len(done_after),
+        "complete": len(done_after) == n_buckets,
+    }
+    if summary["complete"]:
+        packed = read_packed(spark, root)
+        agg = packed.agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).collect()[0]
+        summary["n_seqs"] = int(agg["n_seqs"] or 0)
+        summary["n_tokens"] = int(agg["n_tokens"] or 0)
+    return summary
+
+
+def read_packed(spark: SparkSession, root: str) -> DataFrame:
+    """The packed-sequence table (bucket-partitioned; empty buckets are
+    bare dirs with no files and simply contribute no rows)."""
+    return spark.read.option("basePath",
+                             catalog.table_path(root, PACKED_TABLE)) \
+        .parquet(catalog.table_path(root, PACKED_TABLE))

@@ -1,0 +1,87 @@
+"""End-to-end resumable curation runner (engine/curate.py): single-shot
+vs crash/resume byte-equality, batch-size invariance, and the config
+pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _packed_content(spark, root):
+    from martial_arts_ocr_spark.engine.curate import read_packed
+
+    rows = read_packed(spark, root).collect()
+    return sorted(
+        (r["bucket"], r["seq_in_bucket"], r["n_docs_in_seq"],
+         r["n_tokens"], tuple(r["token_ids"]))
+        for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def single_shot(spark, tmp_path_factory):
+    from martial_arts_ocr_spark.engine.curate import run_curate
+
+    root = str(tmp_path_factory.mktemp("wh_single"))
+    summary = run_curate(spark, SF, root, "run-a", batch_size=4)
+    return root, summary
+
+
+def test_single_shot_completes_and_matches_direct_pack(spark, single_shot):
+    from martial_arts_ocr_spark.packing import pack_token_sequences
+    from martial_arts_ocr_spark.queries.corpus import q_corpus_keep_set
+
+    root, summary = single_shot
+    assert summary["complete"]
+    assert summary["buckets_completed"] == 8
+    assert summary["n_seqs"] > 0 and summary["n_tokens"] > 0
+
+    flags = q_corpus_keep_set(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = docs.join(flags.where(F.col("kept")).select("doc_id"), "doc_id")
+    direct = sorted(
+        (r["bucket"], r["seq_in_bucket"], r["n_docs_in_seq"],
+         r["n_tokens"], tuple(r["token_ids"]))
+        for r in pack_token_sequences(kept).collect()
+    )
+    assert _packed_content(spark, root) == direct
+
+
+def test_crash_then_resume_is_byte_identical(spark, tmp_path, single_shot):
+    from martial_arts_ocr_spark.engine.curate import (
+        completed_pack_buckets,
+        run_curate,
+    )
+
+    ref_root, _ = single_shot
+    root = str(tmp_path / "wh_resume")
+    partial = run_curate(spark, SF, root, "run-b", batch_size=4, max_waves=1)
+    assert not partial["complete"]
+    assert partial["buckets_completed"] == 4
+    done_before = completed_pack_buckets(spark, root, "run-b")
+
+    resumed = run_curate(spark, SF, root, "run-b", batch_size=4)
+    assert resumed["complete"]
+    # resume did not redo finished buckets' checkpoints under a new wave 0
+    assert done_before <= completed_pack_buckets(spark, root, "run-b")
+    assert _packed_content(spark, root) == _packed_content(spark, ref_root)
+
+
+def test_batch_size_does_not_shape_output(spark, tmp_path, single_shot):
+    from martial_arts_ocr_spark.engine.curate import run_curate
+
+    ref_root, _ = single_shot
+    root = str(tmp_path / "wh_b3")
+    summary = run_curate(spark, SF, root, "run-c", batch_size=3)
+    assert summary["complete"]
+    assert _packed_content(spark, root) == _packed_content(spark, ref_root)
+
+
+def test_config_pin_refuses_drifted_resume(spark, tmp_path):
+    from martial_arts_ocr_spark.engine.curate import run_curate
+
+    root = str(tmp_path / "wh_pin")
+    run_curate(spark, SF, root, "run-d", batch_size=4, max_waves=1)
+    with pytest.raises(ValueError, match="different curation config"):
+        run_curate(spark, SF, root, "run-d", ctx_len=256)
