@@ -97,6 +97,17 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     from ..bpe_merges_1k import BPE_MERGES_1K
     from ..queries.corpus import q_corpus_keep_set
 
+    # one warehouse = one curation run: the packed table's bucket=K dirs
+    # are replaced per wave, so a second run_id would silently overwrite
+    # the first run's output (same guard run_checkpointed grew in r4)
+    foreign = [s["run_id"] for s in catalog.read_snapshots(root, PACKED_TABLE)
+               if s.get("run_id") not in (None, run_id)]
+    if foreign:
+        raise ValueError(
+            f"warehouse {root} already holds packed output for run_id "
+            f"{sorted(set(foreign))} — a second run would overwrite its "
+            "bucket partitions; use a fresh warehouse")
+
     _pin_config(root, run_id, {
         "n_buckets": n_buckets, "ctx_len": ctx_len,
         "n_merges": len(BPE_MERGES_1K),

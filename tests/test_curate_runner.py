@@ -85,3 +85,12 @@ def test_config_pin_refuses_drifted_resume(spark, tmp_path):
     run_curate(spark, SF, root, "run-d", batch_size=4, max_waves=1)
     with pytest.raises(ValueError, match="different curation config"):
         run_curate(spark, SF, root, "run-d", ctx_len=256)
+
+
+def test_second_run_id_refused_over_same_warehouse(spark, tmp_path):
+    from martial_arts_ocr_spark.engine.curate import run_curate
+
+    root = str(tmp_path / "wh_two_runs")
+    run_curate(spark, SF, root, "run-e", batch_size=8, max_waves=1)
+    with pytest.raises(ValueError, match="already holds packed output"):
+        run_curate(spark, SF, root, "run-f")
