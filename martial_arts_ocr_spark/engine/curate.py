@@ -43,8 +43,27 @@ from ..packing import CTX_LEN, N_BUCKETS, pack_token_sequences, \
     content_hash_col, pack_bucket_col
 
 CURATION_TABLE = "curation_flags"
+KEPT_TABLE = "kept_docs"
 PACKED_TABLE = "packed_sequences"
 PACKED_CKPT_TABLE = "packed_checkpoints"
+
+# explicit schemas for resume-path reads (ADVICE r6: a crash during the
+# very first checkpoint append leaves the dir with only Spark's
+# _temporary subdir — isdir passes, schema inference throws, and the
+# runner whose purpose is crash-resume hard-blocks on every resume)
+_CKPT_SCHEMA = "run_id string, bucket int, snapshot_id string, status string"
+_PACKED_SCHEMA = ("seq_in_bucket bigint, n_docs_in_seq bigint, "
+                  "n_tokens bigint, fill_ratio double, "
+                  "token_ids array<bigint>, run_id string, bucket bigint")
+
+
+def _has_parquet_files(path: str) -> bool:
+    for dirpath, dirs, files in os.walk(path):
+        # Spark's in-flight _temporary subtree is not committed data
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _pin_path(root: str, run_id: str) -> str:
@@ -76,9 +95,9 @@ def _flags_path(root: str, run_id: str) -> str:
 def completed_pack_buckets(spark: SparkSession, root: str,
                            run_id: str) -> set[int]:
     path = catalog.table_path(root, PACKED_CKPT_TABLE)
-    if not os.path.isdir(path):
+    if not os.path.isdir(path) or not _has_parquet_files(path):
         return set()
-    rows = (spark.read.parquet(path)
+    rows = (spark.read.schema(_CKPT_SCHEMA).parquet(path)
             .where((F.col("run_id") == run_id)
                    & (F.col("status") == "completed"))
             .select("bucket").distinct().collect())
@@ -102,9 +121,19 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     # the first run's output (same guard run_checkpointed grew in r4)
     foreign = [s["run_id"] for s in catalog.read_snapshots(root, PACKED_TABLE)
                if s.get("run_id") not in (None, run_id)]
+    # ADVICE r6: the snapshot is appended AFTER the wave's bucket-dir
+    # moves, so a run that crashed inside its first wave leaves orphan
+    # bucket dirs with NO snapshot — key the guard on the config pin too
+    # (written before any data lands), so a dead foreign run still refuses
+    if os.path.isdir(root):
+        foreign += [
+            name[len("_curate_"):-len(".json")] for name in os.listdir(root)
+            if name.startswith("_curate_") and name.endswith(".json")
+            and name != os.path.basename(_pin_path(root, run_id))
+        ]
     if foreign:
         raise ValueError(
-            f"warehouse {root} already holds packed output for run_id "
+            f"warehouse {root} already holds curation state for run_id "
             f"{sorted(set(foreign))} — a second run would overwrite its "
             "bucket partitions; use a fresh warehouse")
 
@@ -190,7 +219,9 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
 
 def read_packed(spark: SparkSession, root: str) -> DataFrame:
     """The packed-sequence table (bucket-partitioned; empty buckets are
-    bare dirs with no files and simply contribute no rows)."""
-    return spark.read.option("basePath",
-                             catalog.table_path(root, PACKED_TABLE)) \
-        .parquet(catalog.table_path(root, PACKED_TABLE))
+    bare dirs with no files and simply contribute no rows). Schema is
+    pinned explicitly: an all-empty-bucket table has no file to infer
+    from (ADVICE r6)."""
+    return (spark.read.schema(_PACKED_SCHEMA)
+            .option("basePath", catalog.table_path(root, PACKED_TABLE))
+            .parquet(catalog.table_path(root, PACKED_TABLE)))

@@ -92,5 +92,42 @@ def test_second_run_id_refused_over_same_warehouse(spark, tmp_path):
 
     root = str(tmp_path / "wh_two_runs")
     run_curate(spark, SF, root, "run-e", batch_size=8, max_waves=1)
-    with pytest.raises(ValueError, match="already holds packed output"):
+    with pytest.raises(ValueError, match="already holds curation state"):
         run_curate(spark, SF, root, "run-f")
+
+
+def test_second_run_id_refused_even_before_first_snapshot(spark, tmp_path):
+    """ADVICE r6: a run that crashes between its bucket-dir moves and the
+    snapshot append leaves orphan bucket dirs with NO snapshot — the guard
+    must key on the config pin (written before any data) too, or a new
+    run_id silently mixes the dead run's orphans into its output."""
+    import json
+    import os
+
+    from martial_arts_ocr_spark.engine.curate import run_curate
+
+    root = str(tmp_path / "wh_orphan")
+    os.makedirs(root)
+    with open(os.path.join(root, "_curate_dead-run.json"), "w") as f:
+        json.dump({"n_buckets": 8, "ctx_len": 512, "n_merges": 1024}, f)
+    with pytest.raises(ValueError, match="dead-run"):
+        run_curate(spark, SF, root, "run-g", max_waves=1)
+
+
+def test_resume_survives_checkpoint_dir_with_no_committed_files(spark,
+                                                                tmp_path):
+    """ADVICE r6: a crash during the very first checkpoint append leaves
+    packed_checkpoints/ holding only Spark's _temporary subdir — resume
+    must treat that as 'nothing completed', not die on schema inference."""
+    import os
+
+    from martial_arts_ocr_spark.engine.curate import (
+        PACKED_CKPT_TABLE,
+        completed_pack_buckets,
+    )
+    from martial_arts_ocr_spark.engine import catalog
+
+    root = str(tmp_path / "wh_crash_ckpt")
+    ckpt_dir = catalog.table_path(root, PACKED_CKPT_TABLE)
+    os.makedirs(os.path.join(ckpt_dir, "_temporary", "0"))
+    assert completed_pack_buckets(spark, root, "run-h") == set()

@@ -123,6 +123,39 @@ def test_lsh_sign_margins(sf):
 
 
 @pytest.mark.parametrize("sf", SFS)
+def test_mix_weight_margins(sf):
+    """source_mixing_weights oracles round(sqrt_micro/total, 6) — a ratio
+    whose denominator is data-derived (the exact class the round-2 lesson
+    warns about: Spark HALF_UP vs DuckDB nearest could split on a tie).
+    Both engines divide the SAME two integers, so the quotient is an
+    identical double; the only hazard is that double sitting ON a round-6
+    half boundary. Audit (a) the quotient's distance from the boundary at
+    all SFs, and (b) the quota floor's distance from an integer (floor of
+    a near-integer double is the same knife edge)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark.queries.corpus import _MIX_QUOTA_SCALE
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT source, sum(len(regexp_split_to_array(trim(text), '\\s+')))"
+        f" FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        " GROUP BY source ORDER BY source"
+    ).fetchall()
+    con.close()
+    tokens = np.array([r[1] for r in rows], dtype=np.int64)
+    sqrt_micro = np.floor(np.sqrt(tokens.astype(np.float64)) * 1e6)
+    sqrt_micro = sqrt_micro.astype(np.int64)
+    total = int(sqrt_micro.sum())
+    q = sqrt_micro.astype(np.float64) / float(total)
+    assert _boundary_dist(q, 6).min() > _WOBBLE_MARGIN, sf
+    quota_raw = (sqrt_micro * _MIX_QUOTA_SCALE).astype(np.float64) / total
+    frac = quota_raw % 1.0
+    assert np.minimum(frac, 1.0 - frac).min() > _WOBBLE_MARGIN, sf
+
+
+@pytest.mark.parametrize("sf", SFS)
 def test_emb_classifier_score_margins(sf):
     """embedding_quality_scores rounds the affine score to 6 decimals and
     buckets at 0.05/-0.45 — audit (a) no raw score near a round-6 half
