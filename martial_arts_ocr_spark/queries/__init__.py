@@ -53,6 +53,8 @@ _GATE_HEAD = [
     # — a changed query needs a fresh driver row, same as a new one:
     "corpus_keep_set",
     "curation_funnel",
+    # round-7 additions (first driver row required this round):
+    "mixture_epoch_stream",
 ]
 
 _all_q: dict = {}

@@ -120,3 +120,27 @@ def test_neardup_gate_fires_both_ways(con):
         members = [d for d, c in by_doc.items() if c == cid]
         survivors = [d for d in members if keep.loc[d, "neardup_survivor"]]
         assert survivors == [min(members)], (cid, survivors)
+
+
+def test_mixture_epoch_stream_sampling_discriminates(con):
+    """The quota-weighted epoch sample must (a) draw exactly
+    min(n_target, n_docs_source) docs per (epoch, source), (b) actually
+    SUBSET at least one source (n_target < n_docs), and (c) draw
+    different docs in different epochs (the per-epoch salt is live) —
+    else the 'epoch stream' is vacuously the same sample twice."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _oracle_mixture_epoch_stream,
+    )
+
+    df = con.execute(_oracle_mixture_epoch_stream()).df()
+    n_by_src = dict(con.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source").fetchall())
+    assert (df["docs_sampled"]
+            == df.apply(lambda r: min(r["n_target"],
+                                      n_by_src[r["source"]]), axis=1)).all()
+    assert df["docs_sampled"].sum() > 0
+    assert (df["n_target"] < df["source"].map(n_by_src)).any()
+    # per-epoch salt: some source's epoch-0 and epoch-1 fingerprints differ
+    e0 = df[df["epoch"] == 0].set_index("source")["sum_doc_ids"]
+    e1 = df[df["epoch"] == 1].set_index("source")["sum_doc_ids"]
+    assert (e0 != e1).any()

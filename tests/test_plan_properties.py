@@ -186,6 +186,22 @@ def test_curation_funnel_and_epoch_order_shapes(spark):
     assert "SinglePartition" not in plan, plan[:1200]
 
 
+def test_mixture_epoch_stream_shape(spark):
+    """The quota-weighted epoch stream: quotas are driver-collected O(K)
+    control flow, so the data-side plan is ONE corpus scan -> per-
+    (source, epoch) rank window -> broadcast n_target join -> one Arrow
+    BPE stage over SAMPLED rows only. No single-partition window, no
+    nested-loop join, no duplicated corpus subtree."""
+    plan = _plan(spark, "mixture_epoch_stream")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, plan[:1200]
+    # formatted explain lists each node in tree + detail: 1 node == 2 hits
+    assert plan.count("ArrowEvalPython") <= 2
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
 def test_packed_sequences_two_shuffle_shape(spark):
     """Tokenize-and-pack stays the claimed 100 TB shape: split filter
     pushed below the UDF, ONE ArrowEvalPython stage, ONE bucket exchange
