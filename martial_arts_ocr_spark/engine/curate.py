@@ -50,13 +50,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import catalog
-from ..packing import CTX_LEN, N_BUCKETS, pack_token_sequences, \
-    content_hash_col, pack_bucket_col
+from ..packing import CTX_LEN, N_BUCKETS, epoch_order_frame, \
+    pack_token_sequences, content_hash_col, pack_bucket_col
 
 CURATION_TABLE = "curation_flags"
 KEPT_TABLE = "kept_docs"
 PACKED_TABLE = "packed_sequences"
 PACKED_CKPT_TABLE = "packed_checkpoints"
+EPOCH_TABLE = "epoch_order"
+N_EPOCHS = 2          # default matches queries/corpus.py _N_EPOCHS
 
 # explicit schemas for resume-path reads (ADVICE r6: a crash during the
 # very first checkpoint append leaves the dir with only Spark's
@@ -128,6 +130,35 @@ def read_kept_buckets(spark: SparkSession, root: str, run_id: str,
             .select("doc_id", "text"))      # bucket re-derived by the packer
 
 
+_EPOCH_SCHEMA = ("epoch bigint, pos_in_bucket bigint, seq_in_bucket bigint, "
+                 "shuffle_key string, bucket bigint")
+
+
+def _epoch_path(root: str, run_id: str) -> str:
+    return os.path.join(catalog.table_path(root, EPOCH_TABLE),
+                        f"run_id={run_id}")
+
+
+def completed_epochs(root: str, run_id: str) -> set[int]:
+    """Epochs whose snapshot committed (the snapshot append is the epoch
+    stage's commit point, mirroring the pack wave's checkpoint rows)."""
+    return {int(s["epoch"])
+            for s in catalog.read_snapshots(root, EPOCH_TABLE)
+            if s.get("run_id") == run_id and s.get("stage") == "epoch"}
+
+
+def read_epoch_order(spark: SparkSession, root: str, run_id: str,
+                     epoch: int) -> DataFrame:
+    """One epoch's shard/order table: a training reader seeks shard
+    ``bucket``, position ``pos_in_bucket``. Schema pinned (same ADVICE-r6
+    rationale as read_packed)."""
+    base = _epoch_path(root, run_id)
+    return (spark.read.schema(_EPOCH_SCHEMA)
+            .option("basePath", base)
+            .parquet(os.path.join(base, f"epoch={epoch}"))
+            .withColumn("epoch", F.lit(int(epoch)).cast("bigint")))
+
+
 def completed_pack_buckets(spark: SparkSession, root: str,
                            run_id: str) -> set[int]:
     path = catalog.table_path(root, PACKED_CKPT_TABLE)
@@ -142,13 +173,17 @@ def completed_pack_buckets(spark: SparkSession, root: str,
 
 def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
                batch_size: int = 4, n_buckets: int = N_BUCKETS,
-               ctx_len: int = CTX_LEN, max_waves: int | None = None) -> dict:
+               ctx_len: int = CTX_LEN, max_waves: int | None = None,
+               n_epochs: int = N_EPOCHS,
+               max_epochs: int | None = None) -> dict:
     """Run (or resume) the curation pipeline; returns a summary dict.
 
     ``docs_dir`` must hold ``documents.parquet`` and
     ``embeddings.parquet`` (the keep-set's six gates read both).
-    ``max_waves`` bounds this invocation's pack waves — the crash-test
-    hook (same role as stopping run_checkpointed mid-run)."""
+    ``max_waves`` bounds this invocation's pack waves and ``max_epochs``
+    this invocation's epoch-order writes — the crash-test hooks (same
+    role as stopping run_checkpointed mid-run). ``n_epochs`` shapes the
+    epoch artifact and is pinned like every other semantic knob."""
     from ..bpe_merges_1k import BPE_MERGES_1K
     from ..queries.corpus import q_corpus_keep_set
 
@@ -175,7 +210,7 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
 
     _pin_config(root, run_id, {
         "n_buckets": n_buckets, "ctx_len": ctx_len,
-        "n_merges": len(BPE_MERGES_1K),
+        "n_merges": len(BPE_MERGES_1K), "n_epochs": n_epochs,
     })
 
     # --- stage 1: gate flags, once per run --------------------------------
@@ -267,6 +302,43 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
         ).collect()[0]
         summary["n_seqs"] = int(agg["n_seqs"] or 0)
         summary["n_tokens"] = int(agg["n_tokens"] or 0)
+
+        # --- stage 3: epoch-shuffle artifact, per-epoch checkpoints -------
+        # The durable shard/order table a training reader consumes
+        # (round-6 VERDICT What's missing #3): one epoch=E dir per epoch,
+        # bucket-partitioned inside, derived by the SAME epoch_order_frame
+        # the oracled packed_epoch_order query uses. Epochs are the resume
+        # unit: tmp write -> atomic dir swap -> snapshot (commit point);
+        # a crash between swap and snapshot re-runs the epoch
+        # idempotently. Runs only once packing is complete (the order of
+        # a shard is a function of the FULL packed table).
+        done_epochs = completed_epochs(root, run_id)
+        todo = [e for e in range(n_epochs) if e not in done_epochs]
+        if max_epochs is not None:
+            todo = todo[:max_epochs]
+        edir = _epoch_path(root, run_id)
+        for e in todo:
+            # epoch is carried by the epoch=E partition dir — keeping it
+            # as a data column too would trip partition-column conflict
+            # on read (round-5 gotcha)
+            order = epoch_order_frame(
+                packed.select("bucket", "seq_in_bucket"), n_epochs
+            ).where(F.col("epoch") == e).drop("epoch")
+            tmp = os.path.join(root, f"_epoch_tmp_{run_id}_{e}")
+            (order.repartition(n_buckets, "bucket")
+             .sortWithinPartitions("bucket", "pos_in_bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+            os.makedirs(edir, exist_ok=True)
+            dst = os.path.join(edir, f"epoch={e}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)            # idempotent epoch re-run
+            os.replace(tmp, dst)
+            catalog.append_snapshot(root, EPOCH_TABLE,
+                                    {"run_id": run_id, "stage": "epoch",
+                                     "epoch": int(e)})
+        summary["epochs_total"] = n_epochs
+        summary["epochs_completed"] = len(completed_epochs(root, run_id))
+        summary["epochs_complete"] = summary["epochs_completed"] == n_epochs
     return summary
 
 

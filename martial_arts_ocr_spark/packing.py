@@ -56,6 +56,43 @@ def pack_bucket_col(h, n_buckets: int = N_BUCKETS):
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
 
 
+def epoch_order_frame(packed: DataFrame, n_epochs: int) -> DataFrame:
+    """Deterministic per-epoch permutation of packed sequences — the ONE
+    definition shared by the registered query (queries/corpus.py:
+    q_packed_epoch_order, DuckDB-oracled) and the runner's materialized
+    epoch artifact (engine/curate.py): md5(epoch:bucket:seq) as the
+    shuffle key, rank WITHIN each (epoch, bucket) shard. Global training
+    order is the standard shard contract (read shards round-robin);
+    there is deliberately NO global row_number — a single-partition
+    window is the 100 TB scale-killer, and each bucket's permutation is
+    independent and parallel.
+
+    Input needs (bucket, seq_in_bucket); output: (epoch, bucket,
+    pos_in_bucket, seq_in_bucket, shuffle_key), unordered — callers add
+    their own presentation sort or write layout."""
+    from pyspark.sql import Window
+
+    x = packed.select(
+        "bucket", "seq_in_bucket",
+        F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
+        .alias("epoch"),
+    ).select(
+        "epoch", "bucket", "seq_in_bucket",
+        F.md5(F.concat_ws(
+            ":", F.col("epoch").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("seq_in_bucket").cast("string"),
+        )).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy(
+        "shuffle_key", "seq_in_bucket")
+    return x.select(
+        "epoch", "bucket",
+        F.row_number().over(w).cast("bigint").alias("pos_in_bucket"),
+        "seq_in_bucket", "shuffle_key",
+    )
+
+
 def pack_token_sequences(docs: DataFrame,
                          ctx_len: int = CTX_LEN,
                          n_buckets: int = N_BUCKETS,

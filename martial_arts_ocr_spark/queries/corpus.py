@@ -1484,32 +1484,15 @@ def q_packed_epoch_order(spark, sf_dir):
     permutation is independent and parallel).
 
     Output: (epoch, bucket, pos_in_bucket, seq_in_bucket, shuffle_key)
-    — a reader seeks shard `bucket`, position `pos_in_bucket`."""
-    from pyspark.sql import Window
+    — a reader seeks shard `bucket`, position `pos_in_bucket`. The
+    derivation itself is packing.epoch_order_frame — the ONE definition
+    shared with the runner's materialized epoch artifact
+    (engine/curate.py), so this oracle pins both surfaces."""
+    from ..packing import epoch_order_frame
 
     seqs = q_packed_sequences(spark, sf_dir)
-    x = seqs.select(
-        "bucket", "seq_in_bucket",
-        F.explode(F.array(*[F.lit(e) for e in range(_N_EPOCHS)]))
-        .alias("epoch"),
-    ).select(
-        "epoch", "bucket", "seq_in_bucket",
-        F.md5(F.concat_ws(
-            ":", F.col("epoch").cast("string"),
-            F.col("bucket").cast("string"),
-            F.col("seq_in_bucket").cast("string"),
-        )).alias("shuffle_key"),
-    )
-    w = Window.partitionBy("epoch", "bucket").orderBy(
-        "shuffle_key", "seq_in_bucket")
-    return (
-        x.select(
-            "epoch", "bucket",
-            F.row_number().over(w).cast("bigint").alias("pos_in_bucket"),
-            "seq_in_bucket", "shuffle_key",
-        )
-        .orderBy("epoch", "bucket", "pos_in_bucket")
-    )
+    return (epoch_order_frame(seqs, _N_EPOCHS)
+            .orderBy("epoch", "bucket", "pos_in_bucket"))
 
 
 def _oracle_packed_epoch_order() -> str:

@@ -111,6 +111,67 @@ def test_kept_table_row_count_matches_keep_set(spark, single_shot):
         spark, root, "run-a", list(range(8))).count() == n_kept
 
 
+def _epoch_content(spark, root, run_id, n_epochs=2):
+    from martial_arts_ocr_spark.engine.curate import read_epoch_order
+
+    out = []
+    for e in range(n_epochs):
+        rows = read_epoch_order(spark, root, run_id, e).collect()
+        out.extend((r["epoch"], r["bucket"], r["pos_in_bucket"],
+                    r["seq_in_bucket"], r["shuffle_key"]) for r in rows)
+    return sorted(out)
+
+
+def test_epoch_artifact_matches_shared_derivation(spark, single_shot):
+    """Stage 3 materializes the training reader's shard/order table; it
+    must equal epoch_order_frame over the packed table (the exact
+    definition the oracled packed_epoch_order query pins), and each
+    (epoch, bucket) shard must be a complete 1..n permutation."""
+    from collections import defaultdict
+
+    from martial_arts_ocr_spark.engine.curate import read_packed
+    from martial_arts_ocr_spark.packing import epoch_order_frame
+
+    root, summary = single_shot
+    assert summary["epochs_complete"]
+    assert summary["epochs_completed"] == 2
+    got = _epoch_content(spark, root, "run-a")
+    direct = sorted(
+        (r["epoch"], r["bucket"], r["pos_in_bucket"],
+         r["seq_in_bucket"], r["shuffle_key"])
+        for r in epoch_order_frame(
+            read_packed(spark, root).select("bucket", "seq_in_bucket"), 2
+        ).collect()
+    )
+    assert got == direct and got
+    shards = defaultdict(list)
+    for epoch, bucket, pos, _seq, _key in got:
+        shards[(epoch, bucket)].append(pos)
+    for key, poss in shards.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+
+
+def test_epoch_crash_then_resume_is_byte_identical(spark, tmp_path,
+                                                   single_shot):
+    from martial_arts_ocr_spark.engine.curate import (
+        completed_epochs,
+        run_curate,
+    )
+
+    ref_root, _ = single_shot
+    root = str(tmp_path / "wh_epoch_resume")
+    partial = run_curate(spark, SF, root, "run-ep", batch_size=8,
+                         max_epochs=1)
+    assert partial["complete"] and not partial["epochs_complete"]
+    assert completed_epochs(root, "run-ep") == {0}
+
+    resumed = run_curate(spark, SF, root, "run-ep", batch_size=8)
+    assert resumed["epochs_complete"]
+    assert completed_epochs(root, "run-ep") == {0, 1}
+    assert _epoch_content(spark, root, "run-ep") == \
+        _epoch_content(spark, ref_root, "run-a")
+
+
 def test_config_pin_refuses_drifted_resume(spark, tmp_path):
     from martial_arts_ocr_spark.engine.curate import run_curate
 
