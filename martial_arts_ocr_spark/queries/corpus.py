@@ -1287,11 +1287,24 @@ def q_packed_sequences(spark, sf_dir):
     are independent — the global-order serial cumsum is deliberately
     avoided), a bounded explode (a doc adds <= spanned-chunk rows), and a
     partial-agg groupBy(bucket, seq).  fill_ratio = n_tokens/512 is exact
-    IEEE (power-of-two denominator) so it crosses engines unrounded."""
+    IEEE (power-of-two denominator) so it crosses engines unrounded.
+    ``n_buckets`` is the documented scale knob (rehearsed at 64 ≫ cores
+    on sf0.1 — tests/test_packing.py::test_rehearsal_n_buckets_64)."""
+    return packed_stats_frame(spark, sf_dir)
+
+
+def packed_stats_frame(spark, sf_dir, n_buckets=None, ctx_len=None):
+    """q_packed_sequences' body with the scale knobs exposed — the
+    registered query pins the defaults; the n_buckets ≫ cores rehearsal
+    re-runs the same algebra at 64 buckets."""
     from pyspark.sql import Window
 
-    from ..packing import CTX_LEN, content_hash_col, pack_bucket_col
+    from ..packing import CTX_LEN, N_BUCKETS, content_hash_col, \
+        pack_bucket_col
     from .textops import _bpe_count_udf
+
+    n_buckets = N_BUCKETS if n_buckets is None else n_buckets
+    CTX_LEN = CTX_LEN if ctx_len is None else ctx_len
 
     d = _docs(spark, sf_dir)
     key = F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))
@@ -1303,7 +1316,7 @@ def q_packed_sequences(spark, sf_dir):
     costed = kept.select(
         "doc_id",
         h.alias("h"),
-        pack_bucket_col(h).alias("bucket"),
+        pack_bucket_col(h, n_buckets).alias("bucket"),
         (bc(F.col("text")) + F.lit(1)).alias("cost"),   # +1 separator
     )
     cum_w = (Window.partitionBy("bucket").orderBy("h", "doc_id")

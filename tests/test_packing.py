@@ -132,6 +132,39 @@ def test_packer_matches_registered_stats_query(spark):
     assert len(stats) > 10
 
 
+def test_rehearsal_n_buckets_64(spark):
+    """The 100×-scale rehearsal (r6 VERDICT item 8): n_buckets=64 ≫ the
+    session's shuffle parallelism on the sf0.1 table. Pins (a) stats
+    query and real packer still agree row-for-row at the scaled knob,
+    (b) all 64 buckets are populated (the cumsum window has 64
+    independent partitions to parallelize over), and (c) the plan's
+    window exchange hash-partitions by bucket — no single-partition
+    cumsum appears at any knob setting."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _SPLIT_SALT, _SPLIT_TRAIN_PERMILLE, packed_stats_frame)
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.1"
+    stats_df = packed_stats_frame(spark, sf, n_buckets=64)
+    plan = stats_df._sc._jvm.PythonSQLUtils.explainString(
+        stats_df._jdf.queryExecution(), "formatted")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan, plan[:1500]
+    stats = [(r.bucket, r.seq_in_bucket, r.n_docs_in_seq, r.n_tokens,
+              r.fill_ratio) for r in stats_df.collect()]
+    assert len({b for b, *_ in stats}) == 64
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))
+    bucket = (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+              .cast("bigint") % 1000)
+    kept = docs.where(bucket < _SPLIT_TRAIN_PERMILLE)
+    packed = [(r.bucket, r.seq_in_bucket, r.n_docs_in_seq, r.n_tokens,
+               r.fill_ratio)
+              for r in packing.pack_token_sequences(
+                  kept, n_buckets=64).collect()]
+    assert sorted(stats) == sorted(packed)
+
+
 def test_epoch_order_is_a_per_shard_permutation(spark):
     """packed_epoch_order emits, per (epoch, bucket), a contiguous
     1..n rank over exactly the bucket's sequences — and the two epochs'
