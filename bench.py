@@ -230,23 +230,28 @@ def main() -> None:
         # estimate). r5 quiet-box sequential sample (code-identical):
         # median 0.926 over [0.926, 0.845, 0.939, 0.939, 0.891, 0.748,
         # 0.935], lo 1469.4 / hi 5443.7.
-        rounds_r6 = [0.782, 0.646, 1.247, 0.943]
+        # Round-7 numbers of record: 3 INTERLEAVED pairs with per-pair
+        # anchors (600/886/739 docs/s — the host still cycles), plus one
+        # sequential pair at anchor 754 measuring 0.828. Day-pooled
+        # best-per-side floor 1.00 (best lo 1394.8, best hi 5588.0).
+        # BASELINE.md round 7 has all samples.
+        rounds_r7 = [0.784, 1.002, 0.936]
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
                       "uniform input files, best-of-3 per measurement, 3 "
                       "INTERLEAVED lo/hi alternations per pair with best "
-                      "per side, 4 pairs, session anchors 922->946 "
-                      "docs/s single-proc (healthy); sequential-pair "
-                      "sample same day median 0.837; day-pooled "
-                      "best-per-side floor 0.950 (best lo 1494, best hi "
-                      "5675 over 27 draws/side); r5 code-identical "
-                      "quiet-box sequential median 0.926; symmetric "
-                      "outlier reporting per round-3 ADVICE",
-            "lo_docs_per_sec": 1412.9,     # the median pair's best side
-            "hi_docs_per_sec": 5327.1,
-            "efficiency": _median(rounds_r6),
-            "efficiency_sym_trimmed": _median(sorted(rounds_r6)[1:-1]),
-            "paired_rounds": rounds_r6,
+                      "per side, 3 pairs, per-pair anchors 600/886/739 "
+                      "docs/s single-proc (cycling host); same-session "
+                      "sequential pair 0.828 at anchor 754; day-pooled "
+                      "best-per-side floor 1.00 (best lo 1394.8, best hi "
+                      "5588.0 over 9 draws/side); r6 interleaved median "
+                      "0.863; symmetric outlier reporting per round-3 "
+                      "ADVICE",
+            "lo_docs_per_sec": 1117.1,     # the median pair's best side
+            "hi_docs_per_sec": 4184.4,
+            "efficiency": _median(rounds_r7),
+            "efficiency_sym_trimmed": _median(sorted(rounds_r7)[1:-1]),
+            "paired_rounds": rounds_r7,
         }
 
     print(json.dumps(result))
