@@ -34,11 +34,27 @@ Stages:
    parallelism levels, and crash/resume boundaries (pinned in
    tests/test_curate_runner.py).
 
+4. **Epoch stage** — once packing completes, one shard/order table per
+   epoch (``epoch_order/run_id=<id>/epoch=E/bucket=K``), derived by
+   packing.epoch_order_frame (the definition the oracled
+   packed_epoch_order query pins); per-epoch snapshots are the resume
+   unit.
+
+Design note — pack ONCE, shuffle per epoch: the runner fixes the corpus
+composition at the gate stage and varies only the ORDER across epochs
+(the standard shard contract — repacking per epoch would re-tokenize the
+corpus E times for no training benefit). Composition control across
+sources is the separate, oracled query surface
+(queries/corpus.py:q_mixture_epoch_stream — temperature-quota sampling
+per epoch); a deployment that wants per-epoch resampling feeds that
+sample as this runner's input corpus per epoch, paying the repack
+deliberately.
+
 Config pinning: semantic knobs that shape output (ctx_len, n_buckets,
-merge-table size) are pinned in ``_curate_<run_id>.json``; resuming with
-different values is refused (round-5 lesson: pin every knob that shapes
-restart-stable ids). batch_size is deliberately NOT pinned — wave
-composition cannot reach the per-bucket pure packer.
+merge-table size, n_epochs) are pinned in ``_curate_<run_id>.json``;
+resuming with different values is refused (round-5 lesson: pin every
+knob that shapes restart-stable ids). batch_size is deliberately NOT
+pinned — wave composition cannot reach the per-bucket pure packer.
 """
 
 from __future__ import annotations
