@@ -73,10 +73,17 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
 
 
 def table_exists(root: str, table: str) -> bool:
+    """True iff the table dir holds COMMITTED parquet data. ``_``-prefixed
+    subtrees are pruned (round-7 review, generalizing the ADVICE-r6 curate
+    fix to every caller): a writer crash mid-append leaves only Spark's
+    ``_temporary/`` task files — part-*.parquet by name, invisible to any
+    reader — and counting them made resume paths attempt schema inference
+    over a dir with zero readable files."""
     p = table_path(root, table)
     if not os.path.isdir(p):
         return False
-    for _dirpath, _dirs, files in os.walk(p):
+    for _dirpath, dirs, files in os.walk(p):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         if any(f.endswith(".parquet") for f in files):
             return True
     return False

@@ -87,12 +87,10 @@ _PACKED_SCHEMA = ("seq_in_bucket bigint, n_docs_in_seq bigint, "
 
 
 def _has_parquet_files(path: str) -> bool:
-    for dirpath, dirs, files in os.walk(path):
-        # Spark's in-flight _temporary subtree is not committed data
-        dirs[:] = [d for d in dirs if not d.startswith("_")]
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    # committed data only — delegates to the shared helper so the
+    # _temporary-pruning fix covers resume.py/sigstore.py too (r7 review)
+    return catalog.table_exists(os.path.dirname(path),
+                                os.path.basename(path))
 
 
 def _pin_path(root: str, run_id: str) -> str:
@@ -169,10 +167,11 @@ def read_epoch_order(spark: SparkSession, root: str, run_id: str,
     ``bucket``, position ``pos_in_bucket``. Schema pinned (same ADVICE-r6
     rationale as read_packed)."""
     base = _epoch_path(root, run_id)
+    # epoch arrives as a partition column from the epoch=E dir under
+    # basePath (pinned bigint by the schema) — no re-derivation needed
     return (spark.read.schema(_EPOCH_SCHEMA)
             .option("basePath", base)
-            .parquet(os.path.join(base, f"epoch={epoch}"))
-            .withColumn("epoch", F.lit(int(epoch)).cast("bigint")))
+            .parquet(os.path.join(base, f"epoch={epoch}")))
 
 
 def completed_pack_buckets(spark: SparkSession, root: str,
@@ -252,10 +251,15 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
         docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
         kept = docs.join(flags.where(F.col("kept")).select("doc_id"),
                          "doc_id")
+        # 4× partitions for n_buckets distinct keys: hashing K keys into
+        # exactly K partitions is balls-into-bins (≈1/e reducers empty,
+        # hottest ≈ln K/ln ln K keys — the r3/r4 skew lesson); at 4K the
+        # collision rate is negligible and partitionBy still lays files
+        # out per bucket, ≤4 files each (r7 review)
         (kept.select(
             "doc_id", "text",
             pack_bucket_col(content_hash_col(), n_buckets).alias("bucket"))
-         .repartition(n_buckets, "bucket")
+         .repartition(4 * n_buckets, "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(kpath))                   # idempotent re-run
         catalog.append_snapshot(root, KEPT_TABLE,
@@ -336,10 +340,12 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
         for e in todo:
             # epoch is carried by the epoch=E partition dir — keeping it
             # as a data column too would trip partition-column conflict
-            # on read (round-5 gotcha)
+            # on read (round-5 gotcha). [e]: generate only THIS epoch's
+            # rows (r7 review — the all-epochs-then-filter shape was
+            # O(n_epochs²) rows + one packed scan per epoch)
             order = epoch_order_frame(
-                packed.select("bucket", "seq_in_bucket"), n_epochs
-            ).where(F.col("epoch") == e).drop("epoch")
+                packed.select("bucket", "seq_in_bucket"), [e]
+            ).drop("epoch")
             tmp = os.path.join(root, f"_epoch_tmp_{run_id}_{e}")
             (order.repartition(n_buckets, "bucket")
              .sortWithinPartitions("bucket", "pos_in_bucket")

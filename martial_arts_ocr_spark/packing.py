@@ -56,7 +56,8 @@ def pack_bucket_col(h, n_buckets: int = N_BUCKETS):
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
 
 
-def epoch_order_frame(packed: DataFrame, n_epochs: int) -> DataFrame:
+def epoch_order_frame(packed: DataFrame,
+                      n_epochs: int | list[int]) -> DataFrame:
     """Deterministic per-epoch permutation of packed sequences — the ONE
     definition shared by the registered query (queries/corpus.py:
     q_packed_epoch_order, DuckDB-oracled) and the runner's materialized
@@ -69,13 +70,23 @@ def epoch_order_frame(packed: DataFrame, n_epochs: int) -> DataFrame:
 
     Input needs (bucket, seq_in_bucket); output: (epoch, bucket,
     pos_in_bucket, seq_in_bucket, shuffle_key), unordered — callers add
-    their own presentation sort or write layout."""
+    their own presentation sort or write layout.
+
+    ``n_epochs`` may be an int (epochs 0..n-1, the query surface) or an
+    explicit list of epoch numbers — the runner materializes one epoch
+    per resume unit and passes ``[e]``, so each epoch stage generates
+    ONLY its own rows instead of exploding all epochs and filtering
+    (round-7 review: that shape re-scanned the packed table and
+    generated n_epochs× the rows once per epoch — O(n_epochs²) total).
+    The md5(e:bucket:seq) key depends only on the epoch NUMBER, so any
+    epoch subset derives bit-identical rows."""
     from pyspark.sql import Window
 
+    epochs = list(range(n_epochs)) if isinstance(n_epochs, int) else \
+        [int(e) for e in n_epochs]
     x = packed.select(
         "bucket", "seq_in_bucket",
-        F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
-        .alias("epoch"),
+        F.explode(F.array(*[F.lit(e) for e in epochs])).alias("epoch"),
     ).select(
         "epoch", "bucket", "seq_in_bucket",
         F.md5(F.concat_ws(

@@ -1062,7 +1062,7 @@ ORDER BY score_bin
 
 # --- the full curation pipeline as ONE declarative plan --------------------------
 
-def q_corpus_keep_set(spark, sf_dir):
+def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
     """The composition a real corpus user runs END-TO-END: per document,
     the six independent gates — Gopher word-shape rules, the LM
     perplexity filter (drop bucket rejected), exact-dup survivorship
@@ -1094,7 +1094,7 @@ def q_corpus_keep_set(spark, sf_dir):
     SQL pieces, so the composition logic itself — join shapes, null
     handling at the boundaries, the AND — is what the gate verifies
     here."""
-    from .graph import q_dedup_clusters
+    from .graph import neardup_cluster_labels
 
     d = _docs(spark, sf_dir)
     gopher_pass = gopher_pass_expr()     # the shared gate definition
@@ -1128,9 +1128,11 @@ def q_corpus_keep_set(spark, sf_dir):
     # sixth gate: one (doc_id, cluster_id) row per near-dup cluster MEMBER
     # — a pairs-shaped table (docs with no verified near-dup never appear),
     # left-joined so isolated docs pass; a member survives iff it IS the
-    # cluster's min doc_id (the cluster label)
-    clusters = q_dedup_clusters(spark, sf_dir).select(
-        "doc_id", "cluster_id")
+    # cluster's min doc_id (the cluster label). Own labels SLOT: building
+    # a later dedup_clusters frame must not free the storage under a
+    # previously returned keep-set plan (round-7 review fix; per-slot
+    # lifetime contract in graph.neardup_cluster_labels)
+    clusters = neardup_cluster_labels(spark, sf_dir, slot=_labels_slot)
     out = (
         base.join(survivors, "content_hash")
         .join(contaminated, "doc_id", "left")
@@ -1227,8 +1229,10 @@ def q_curation_funnel(spark, sf_dir):
 
     100 TB shape: the keep-set's one-corpus-pass plan, plus a map-side
     partial aggregation down to |sources| rows — the funnel itself
-    shuffles almost nothing."""
-    flags = q_corpus_keep_set(spark, sf_dir)
+    shuffles almost nothing. Own near-dup labels slot so building a
+    funnel never frees the storage under a live keep-set frame (round-7
+    review; lifetime contract in graph.neardup_cluster_labels)."""
+    flags = q_corpus_keep_set(spark, sf_dir, _labels_slot="funnel")
     src = _docs(spark, sf_dir).select("doc_id", "source")
 
     def n(col):

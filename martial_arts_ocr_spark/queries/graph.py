@@ -192,19 +192,35 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
 # The FINAL round's labels stay checkpointed while callers consume the
 # returned (lazy) DataFrame — they cannot be freed inside
 # connected_components. Track the last invocation's result per
-# application and free it when the next invocation starts (the
-# _SIG_CACHE eviction pattern), so a long session (gate + bench +
-# scaling in one process) holds at most ONE label-set of block-manager
-# storage instead of one per call (review finding, round 4).
-_LAST_LABELS: dict[str, DataFrame] = {}
+# (application, SLOT) and free it when the next invocation of that slot
+# starts (the _SIG_CACHE eviction pattern), so a long session (gate +
+# bench + scaling in one process) holds at most ONE label-set per slot
+# of block-manager storage instead of one per call (review finding,
+# round 4; slot-scoping added round 7 — see neardup_cluster_labels).
+_LAST_LABELS: dict[tuple[str, str], DataFrame] = {}
 
 
-def q_dedup_clusters(spark, sf_dir):
+def neardup_cluster_labels(spark, sf_dir, slot: str) -> DataFrame:
+    """(doc_id, cluster_id) near-dup component labels with SLOT-scoped
+    storage lifetime. The labels are localCheckpointed (connected_
+    components), so they are caller-owned storage; this helper frees the
+    PREVIOUS invocation's labels of the SAME slot only — round-7 review
+    fix: when the keep-set started embedding these labels, sharing one
+    app-wide slot with q_dedup_clusters meant building ANY later
+    clusters/keep-set/funnel frame freed the blocks under a previously
+    returned keep-set plan (use-after-free: CHECKPOINT_RDD_BLOCK_ID_NOT_
+    FOUND on re-execution). Contract per slot: frames from invocation N
+    die when invocation N+1 of the same slot is built; different slots
+    never invalidate each other."""
     app = spark.sparkContext.applicationId
-    prev = _LAST_LABELS.pop(app, None)
+    key = (app, slot)
+    prev = _LAST_LABELS.pop(key, None)
     if prev is not None:
         free_labels(prev)
-    _LAST_LABELS.clear()          # stopped-session entries
+    # drop stopped-session entries (their blocks died with the session);
+    # never touch OTHER live slots of this app
+    for k in [k for k in _LAST_LABELS if k[0] != app]:
+        _LAST_LABELS.pop(k, None)
     pairs = q_minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -214,15 +230,16 @@ def q_dedup_clusters(spark, sf_dir):
         )
     )
     labels = connected_components(edges)
-    _LAST_LABELS[app] = labels
-    return (
-        labels
-        .select(
-            F.col("doc").cast("bigint").alias("doc_id"),
-            F.col("lbl").cast("bigint").alias("cluster_id"),
-        )
-        .orderBy("doc_id")
+    _LAST_LABELS[key] = labels
+    return labels.select(
+        F.col("doc").cast("bigint").alias("doc_id"),
+        F.col("lbl").cast("bigint").alias("cluster_id"),
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return (neardup_cluster_labels(spark, sf_dir, slot="dedup_clusters")
+            .orderBy("doc_id"))
 
 
 def clusters_ctes() -> str:

@@ -82,3 +82,25 @@ def test_reliable_checkpoint_mode_same_labels(spark, tmp_path):
     assert all(lbl == 0 for d, lbl in rel if d <= n)
     assert {lbl for d, lbl in rel if d in (100, 101)} == {100}
     assert (200, 200) in rel
+
+
+def test_keep_set_survives_later_cluster_builds(spark):
+    """Round-7 review repro: the keep-set embeds localCheckpointed CC
+    labels; with one shared labels slot, building ANY later
+    clusters/funnel frame freed the blocks under a previously returned
+    keep-set plan (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-execution).
+    Per-slot lifetimes: a keep-set frame must survive later
+    dedup_clusters AND funnel builds; only the next keep-set build may
+    retire it."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        q_corpus_keep_set,
+        q_curation_funnel,
+    )
+    from martial_arts_ocr_spark.queries.graph import q_dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    a = q_corpus_keep_set(spark, sf)
+    n_a = a.count()
+    q_dedup_clusters(spark, sf).count()      # different slot
+    q_curation_funnel(spark, sf).count()     # own 'funnel' slot
+    assert a.count() == n_a                  # A's storage still alive

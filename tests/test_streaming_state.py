@@ -24,6 +24,8 @@ def _drain(q, n_input, timeout=150):
     numInputRows over recentProgress is a safe completion signal."""
     t0 = time.time()
     while time.time() - t0 < timeout:
+        if q.exception() is not None:     # fail fast with the real error,
+            raise q.exception()           # not a 150 s TimeoutError mask
         if sum(p["numInputRows"] for p in q.recentProgress) >= n_input:
             return
         time.sleep(0.5)
