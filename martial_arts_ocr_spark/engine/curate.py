@@ -174,6 +174,23 @@ def read_epoch_order(spark: SparkSession, root: str, run_id: str,
             .parquet(os.path.join(base, f"epoch={epoch}")))
 
 
+def read_epoch_stream(spark: SparkSession, root: str, run_id: str,
+                      epoch: int) -> DataFrame:
+    """The training stream a reader actually consumes: one epoch's order
+    table joined back to the packed token arrays — (bucket,
+    pos_in_bucket, seq_in_bucket, n_tokens, token_ids), one row per
+    training sequence. A reader iterates shards (buckets) round-robin,
+    each shard in pos_in_bucket order — both tables are bucket-
+    partitioned on disk, so the join co-locates per shard and a reader
+    pulling one shard touches exactly two bucket=K dirs. No global sort
+    anywhere (the shard contract — see epoch_order_frame)."""
+    order = read_epoch_order(spark, root, run_id, epoch)
+    packed = read_packed(spark, root).select(
+        "bucket", "seq_in_bucket", "n_tokens", "token_ids")
+    return (order.select("bucket", "pos_in_bucket", "seq_in_bucket")
+            .join(packed, ["bucket", "seq_in_bucket"]))
+
+
 def completed_pack_buckets(spark: SparkSession, root: str,
                            run_id: str) -> set[int]:
     path = catalog.table_path(root, PACKED_CKPT_TABLE)

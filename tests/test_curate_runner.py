@@ -225,3 +225,37 @@ def test_resume_survives_checkpoint_dir_with_no_committed_files(spark,
     ckpt_dir = catalog.table_path(root, PACKED_CKPT_TABLE)
     os.makedirs(os.path.join(ckpt_dir, "_temporary", "0"))
     assert completed_pack_buckets(spark, root, "run-h") == set()
+
+
+def test_epoch_stream_is_packed_sequences_permuted(spark, single_shot):
+    """The reader surface: epoch 0's stream must contain EXACTLY the
+    packed sequences (same token arrays), each tagged with its shard
+    position, and within every shard the pos order must be the epoch-0
+    permutation — i.e. a reader walking (bucket, pos) consumes every
+    training sequence exactly once in shuffled order."""
+    from martial_arts_ocr_spark.engine.curate import (
+        read_epoch_stream,
+        read_packed,
+    )
+
+    root, _ = single_shot
+    stream = read_epoch_stream(spark, root, "run-a", epoch=0).collect()
+    packed = read_packed(spark, root).collect()
+    assert len(stream) == len(packed) > 0
+    assert (
+        sorted((r["bucket"], r["seq_in_bucket"], tuple(r["token_ids"]))
+               for r in stream)
+        == sorted((r["bucket"], r["seq_in_bucket"], tuple(r["token_ids"]))
+                  for r in packed)
+    )
+    by_shard = {}
+    for r in stream:
+        by_shard.setdefault(r["bucket"], []).append(
+            (r["pos_in_bucket"], r["seq_in_bucket"]))
+    for bucket, rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1)), bucket
+        # the permutation is real: identity order would mean the epoch
+        # key never mixed (vanishingly unlikely above a few sequences)
+        if len(rows) > 4:
+            assert [s for _, s in rows] != sorted(s for _, s in rows), bucket
