@@ -38,23 +38,25 @@ from . import (corpus, extended, extraction, graph, lineage, media, neardup,
 # registry change; queries past the window stay covered every round by the
 # full-registry tests/oracle_check.py mirror.
 _GATE_HEAD = [
-    # round-6 tail (driver-green r5, judge-mirror-green r6):
-    "extract_macron_candidates", "ivf_recall_curve", "repeated_spans",
-    "cosine_neardup_pairs", "jaccard_neardup_pairs", "ivf_ann_top5",
-    "incremental_snapshot_dedup", "ann_cosine_top10",
-    "minhash_verified_pairs", "embedding_norms", "lsh_bucket_candidates",
-    "url_canonical_dups", "langid_heuristic", "tokens_by_source",
-    "bpe_token_counts", "punct_ratio", "pricing_summary",
-    "top_revenue_customers", "order_priority", "region_balance",
-    "top_parts_per_brand", "customers_with_orders",
-    "customers_without_orders", "custkeys_1996_not_1997", "orders_rollup",
-    "events_hourly", "events_sessions",
-    # round-7 SEMANTIC CHANGES (sixth gate: near-dup cluster survivorship)
-    # — a changed query needs a fresh driver row, same as a new one:
+    # round-7 tail (driver-green r6, judge-mirror-green r7):
+    "run_checkpoints", "extract_documents", "extract_hot_host",
+    "extract_with_invalid_rows", "host_profiles", "extract_roundtrip",
+    "extract_ja_segments", "extract_figures", "minhash_bands", "simhash",
+    "simhash_neardup_pairs", "argmax_order", "events_sliding_windows",
+    "events_gap_flags", "whitespace_normalize", "sentence_counts",
+    "doc_trigram_head", "custkeys_both_years", "region_nation_matrix",
+    "party_balances_union", "top_users_per_event_type", "part_size_buckets",
+    "pii_redact", "doc_stats_by_lang", "exact_dup_groups",
+    "dedup_survivors", "fingerprints", "quality_buckets",
+    # round-8 SEMANTIC CHANGES — a changed query needs a fresh driver row,
+    # same as a new one (keep-set/funnel: the seventh, SemDeDup-style
+    # semantic-prune gate; mixture_epoch_stream: per-epoch rank frames
+    # replace the corpus×N_EPOCHS explode — output identical, plan not):
     "corpus_keep_set",
     "curation_funnel",
-    # round-7 additions (first driver row required this round):
     "mixture_epoch_stream",
+    # round-8 additions (first driver row required this round):
+    "mixture_epoch_stream_threshold",
 ]
 
 _all_q: dict = {}

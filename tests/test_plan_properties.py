@@ -187,18 +187,36 @@ def test_curation_funnel_and_epoch_order_shapes(spark):
 
 
 def test_mixture_epoch_stream_shape(spark):
-    """The quota-weighted epoch stream: quotas are driver-collected O(K)
-    control flow, so the data-side plan is ONE corpus scan -> per-
-    (source, epoch) rank window -> broadcast n_target join -> one Arrow
-    BPE stage over SAMPLED rows only. No single-partition window, no
-    nested-loop join, no duplicated corpus subtree."""
+    """The quota-weighted epoch stream (exact-count diagnostic form):
+    quotas are driver-collected O(K) control flow; each epoch ranks its
+    OWN 1x-corpus frame (round-8: the corpus×N_EPOCHS explode through one
+    Exchange is gone — one scan per epoch, unioned) -> broadcast n_target
+    join -> one Arrow BPE stage over SAMPLED rows only. No
+    single-partition window, no nested-loop join."""
+    from martial_arts_ocr_spark.queries.corpus import _N_EPOCHS
+
     plan = _plan(spark, "mixture_epoch_stream")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan, plan[:1200]
     # formatted explain lists each node in tree + detail: 1 node == 2 hits
     assert plan.count("ArrowEvalPython") <= 2
-    assert plan.count("Scan parquet") <= 2
+    # one corpus scan PER EPOCH (each feeds its own rank), never more
+    assert plan.count("Scan parquet") <= 2 * _N_EPOCHS
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_threshold_is_map_only_no_window(spark):
+    """Round-8 lead fix (r7 VERDICT What's wrong #1): the deployment-scale
+    mixture sampler must have NO rank window anywhere — the per-source
+    single-task sort is what it exists to eliminate. Plan = per-epoch
+    corpus scan with broadcast grid join + integer-compare filter fused in
+    (map-only), one Arrow BPE stage on kept rows, partial-agg groupBy."""
+    plan = _plan(spark, "mixture_epoch_stream_threshold")
+    assert "Window" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, plan[:1200]
     assert "BroadcastHashJoin" in plan
 
 
