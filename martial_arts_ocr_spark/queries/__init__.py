@@ -57,6 +57,8 @@ _GATE_HEAD = [
     "mixture_epoch_stream",
     # round-8 additions (first driver row required this round):
     "mixture_epoch_stream_threshold",
+    "semantic_dedup_clusters",
+    "multimodal_seq_media",
 ]
 
 _all_q: dict = {}

@@ -1064,14 +1064,17 @@ ORDER BY score_bin
 
 def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
     """The composition a real corpus user runs END-TO-END: per document,
-    the six independent gates — Gopher word-shape rules, the LM
+    the seven independent gates — Gopher word-shape rules, the LM
     perplexity filter (drop bucket rejected), exact-dup survivorship
     (min-doc_id-per-content-hash wins), NEAR-dup cluster survivorship
     (min-doc_id per MinHash-verified connected component wins — the
     RefinedWeb/FineWeb-lineage fuzzy-dedup stage, round-6 VERDICT
-    What's missing #1), benchmark decontamination (no shared 8-gram
-    with the external probe view), and the learned embedding classifier
-    (drop bucket rejected; documents WITHOUT an embedding row pass —
+    What's missing #1), SEMANTIC-dup survivorship (round-8, the
+    SemDeDup-style embedding gate: min-doc_id per in-k-means-cluster
+    high-cosine component — neardup.semantic_cluster_labels), benchmark
+    decontamination (no shared 8-gram with the external probe view),
+    and the learned embedding classifier (drop bucket rejected;
+    documents WITHOUT an embedding row pass both embedding gates —
     you can't drop what you can't score, and at sf0.1 only 2 of 5
     documents are embedded) — and the final ``kept`` AND. Declared as
     one DataFrame plan so Catalyst fuses the map-only gates into the
@@ -1095,6 +1098,7 @@ def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
     handling at the boundaries, the AND — is what the gate verifies
     here."""
     from .graph import neardup_cluster_labels
+    from .neardup import semantic_cluster_labels
 
     d = _docs(spark, sf_dir)
     gopher_pass = gopher_pass_expr()     # the shared gate definition
@@ -1133,10 +1137,19 @@ def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
     # previously returned keep-set plan (round-7 review fix; per-slot
     # lifetime contract in graph.neardup_cluster_labels)
     clusters = neardup_cluster_labels(spark, sf_dir, slot=_labels_slot)
+    # seventh gate (round-8, SemDeDup-style): min-doc_id survivorship over
+    # embedding-cosine components WITHIN each k-means cluster — the
+    # semantic analogue of the lexical near-dup gate; docs with no
+    # embedding (or no semantic duplicate) pass. Pairs-sized table, same
+    # left-join shape; own 'sem:'-prefixed labels slot (lifetime contract
+    # in graph.slot_scoped_component_labels)
+    sem = (semantic_cluster_labels(spark, sf_dir, slot=_labels_slot)
+           .withColumnRenamed("cluster_id", "sem_cluster_id"))
     out = (
         base.join(survivors, "content_hash")
         .join(contaminated, "doc_id", "left")
         .join(clusters, "doc_id", "left")
+        .join(sem, "doc_id", "left")
         .join(emb_gate, "doc_id", "left")
         .select(
             "doc_id",
@@ -1146,13 +1159,16 @@ def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
             (F.col("cluster_id").isNull()
              | (F.col("cluster_id") == F.col("doc_id")))
             .alias("neardup_survivor"),
+            (F.col("sem_cluster_id").isNull()
+             | (F.col("sem_cluster_id") == F.col("doc_id")))
+            .alias("sem_survivor"),
             F.col("is_contam").isNull().alias("decontaminated"),
             F.coalesce(F.col("emb_pass"), F.lit(True)).alias("emb_ok"),
         )
     )
     kept = (F.col("gopher_pass") & F.col("lm_ok") & F.col("dup_survivor")
-            & F.col("neardup_survivor") & F.col("decontaminated")
-            & F.col("emb_ok"))
+            & F.col("neardup_survivor") & F.col("sem_survivor")
+            & F.col("decontaminated") & F.col("emb_ok"))
     return out.select("*", kept.alias("kept")).orderBy("doc_id")
 
 
@@ -1165,6 +1181,7 @@ def _oracle_corpus_keep_set() -> str:
     pieces the per-gate oracles use, re-joined the way the Spark plan
     joins them."""
     from .graph import clusters_ctes
+    from .neardup import semantic_ctes
 
     lm_sql = _oracle_lm_perplexity()
     # reuse the generated model VALUES + scoring CTEs by re-wrapping the
@@ -1172,6 +1189,7 @@ def _oracle_corpus_keep_set() -> str:
     # model + scoring machinery; re-derive lm_ok from its columns
     return f"""
 WITH RECURSIVE {clusters_ctes()},
+{semantic_ctes()},
 lm AS ({lm_sql}),
 t AS (
   SELECT doc_id, text,
@@ -1201,11 +1219,13 @@ SELECT g.doc_id,
        (lm.bucket <> 'drop') AS lm_ok,
        (g.doc_id = s.keep_doc_id) AS dup_survivor,
        (l.doc_id IS NULL OR l.cluster_id = g.doc_id) AS neardup_survivor,
+       (sl.doc_id IS NULL OR sl.cluster_id = g.doc_id) AS sem_survivor,
        (c.doc_id IS NULL) AS decontaminated,
        coalesce(e.emb_pass, TRUE) AS emb_ok,
        (g.gopher_pass AND lm.bucket <> 'drop'
         AND g.doc_id = s.keep_doc_id
         AND (l.doc_id IS NULL OR l.cluster_id = g.doc_id)
+        AND (sl.doc_id IS NULL OR sl.cluster_id = g.doc_id)
         AND c.doc_id IS NULL
         AND coalesce(e.emb_pass, TRUE)) AS kept
 FROM g
@@ -1213,6 +1233,7 @@ JOIN t USING (doc_id)
 JOIN surv s ON s.content_hash = t.content_hash
 JOIN lm ON lm.doc_id = g.doc_id
 LEFT JOIN labels l ON l.doc_id = g.doc_id
+LEFT JOIN slabels sl ON sl.doc_id = g.doc_id
 LEFT JOIN contam c ON c.doc_id = g.doc_id
 LEFT JOIN emb e ON e.doc_id = g.doc_id
 ORDER BY g.doc_id
@@ -1222,7 +1243,7 @@ ORDER BY g.doc_id
 def q_curation_funnel(spark, sf_dir):
     """The per-source gate funnel — the report every curation run ends
     with: for each source, how many documents entered, how many passed
-    each of the six gates independently, and how many survived the
+    each of the seven gates independently, and how many survived the
     final AND. Built ON TOP of the composed keep-set plan (one extra
     small join to recover ``source`` + a partial-agg groupBy), so the
     numbers are definitionally consistent with corpus_keep_set.
@@ -1243,7 +1264,8 @@ def q_curation_funnel(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              n("gopher_pass"), n("lm_ok"), n("dup_survivor"),
-             n("neardup_survivor"), n("decontaminated"), n("emb_ok"),
+             n("neardup_survivor"), n("sem_survivor"),
+             n("decontaminated"), n("emb_ok"),
              n("kept"))
         .orderBy("source")
     )
@@ -1261,6 +1283,8 @@ SELECT d.source,
          AS n_dup_survivor,
        CAST(sum(CASE WHEN k.neardup_survivor THEN 1 ELSE 0 END) AS BIGINT)
          AS n_neardup_survivor,
+       CAST(sum(CASE WHEN k.sem_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sem_survivor,
        CAST(sum(CASE WHEN k.decontaminated THEN 1 ELSE 0 END) AS BIGINT)
          AS n_decontaminated,
        CAST(sum(CASE WHEN k.emb_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_ok,
@@ -1401,6 +1425,101 @@ SELECT bucket, seq AS seq_in_bucket,
        CAST(least({CTX_LEN}, max(btot) - seq * {CTX_LEN}) AS BIGINT)
          / {CTX_LEN}.0 AS fill_ratio
 FROM x GROUP BY bucket, seq ORDER BY bucket, seq_in_bucket
+"""
+
+
+# --- multimodal training samples: media refs through the packer --------------
+
+def q_multimodal_seq_media(spark, sf_dir):
+    """Where every media placeholder lands in the packed multimodal
+    training stream (round-8 VERDICT item 4): one row per (sequence,
+    media ref) — (bucket, seq_in_bucket, offset_in_seq, media_id). The
+    REAL artifact surface is packing.pack_multimodal_sequences (token
+    arrays with MEDIA_PLACEHOLDER_ID interleaved + parallel media_ids/
+    media_offsets arrays — arrays can't cross the driver canonicalizer,
+    so the two surfaces are pinned equal in tests/test_packing.py, the
+    packed_sequences pattern). Semantics: same train-split docs, same
+    (md5(text), doc_id) bucket order as packed_sequences, per-doc cost =
+    n_bpe_tokens + 2 (placeholder + separator), placeholder inserted at
+    packing.media_insert_pos = doc_id % (n_tokens + 1); media_id ==
+    doc_id (queries/media.py's per-document synthesized image).
+
+    100 TB shape: identical to packed_sequences — one Arrow token-count
+    stage fused into the scan, ONE shuffle for the bucket-partitioned
+    cumsum window, pure column algebra for the position/offset math; the
+    media table itself never enters the plan (refs resolve by id at read
+    time)."""
+    from pyspark.sql import Window
+
+    from ..packing import CTX_LEN, content_hash_col, pack_bucket_col
+    from .textops import _bpe_count_udf
+
+    d = _docs(spark, sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))
+    split_b = (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+               .cast("bigint") % 1000)
+    kept = d.where(split_b < _SPLIT_TRAIN_PERMILLE)
+    bc = _bpe_count_udf()
+    h = content_hash_col()
+    costed = kept.select(
+        "doc_id",
+        h.alias("h"),
+        pack_bucket_col(h).alias("bucket"),
+        bc(F.col("text")).alias("c"),
+    ).withColumn("cost", F.col("c") + F.lit(2))
+    cum_w = (Window.partitionBy("bucket").orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = costed.select(
+        "bucket", "doc_id", "c", "cost",
+        F.sum("cost").over(cum_w).alias("e"))
+    # global stream position of the placeholder: doc start + insert pos
+    p = (F.col("e") - F.col("cost")
+         + F.col("doc_id") % (F.col("c") + F.lit(1)))
+    return (
+        cum.select(
+            "bucket",
+            F.floor(p / CTX_LEN).cast("bigint").alias("seq_in_bucket"),
+            (p % CTX_LEN).cast("bigint").alias("offset_in_seq"),
+            F.col("doc_id").alias("media_id"),
+        )
+        .orderBy("bucket", "seq_in_bucket", "offset_in_seq", "media_id")
+    )
+
+
+def _oracle_multimodal_seq_media() -> str:
+    from ..packing import CTX_LEN, N_BUCKETS
+    from .textops import baked_bpe_count_values
+
+    sf, vals = baked_bpe_count_values()
+    return f"""
+-- per-doc BPE token counts mirrored from: {sf}/documents.parquet
+WITH counts(doc_id, c) AS (VALUES {vals}),
+kept AS (
+  SELECT d.doc_id, md5(d.text) AS h, cnt.c AS c, cnt.c + 2 AS cost
+  FROM documents d JOIN counts cnt USING (doc_id)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                  || '{_SPLIT_SALT}'), 1, 15)) AS BIGINT) % 1000
+        < {_SPLIT_TRAIN_PERMILLE}
+),
+b AS (
+  SELECT CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {N_BUCKETS} AS bucket,
+         h, doc_id, c, cost
+  FROM kept
+),
+s AS (
+  SELECT bucket, doc_id, c, cost,
+         CAST(SUM(cost) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM b
+)
+SELECT bucket,
+       CAST((e - cost + (doc_id % (c + 1))) // {CTX_LEN} AS BIGINT)
+         AS seq_in_bucket,
+       CAST((e - cost + (doc_id % (c + 1))) % {CTX_LEN} AS BIGINT)
+         AS offset_in_seq,
+       doc_id AS media_id
+FROM s
+ORDER BY bucket, seq_in_bucket, offset_in_seq, media_id
 """
 
 
@@ -1923,6 +2042,7 @@ ORDER BY e.epoch, tt.source
 QUERIES = {
     "mixture_epoch_stream": q_mixture_epoch_stream,
     "mixture_epoch_stream_threshold": q_mixture_epoch_stream_threshold,
+    "multimodal_seq_media": q_multimodal_seq_media,
     "packed_sequences": q_packed_sequences,
     "curation_funnel": q_curation_funnel,
     "packed_epoch_order": q_packed_epoch_order,
@@ -1943,6 +2063,7 @@ QUERIES = {
 ORACLES = {
     "mixture_epoch_stream": _oracle_mixture_epoch_stream,
     "mixture_epoch_stream_threshold": _oracle_mixture_threshold,
+    "multimodal_seq_media": _oracle_multimodal_seq_media,
     "packed_sequences": _oracle_packed_sequences,
     "curation_funnel": _oracle_curation_funnel,
     "packed_epoch_order": _oracle_packed_epoch_order,

@@ -212,6 +212,18 @@ def neardup_cluster_labels(spark, sf_dir, slot: str) -> DataFrame:
     FOUND on re-execution). Contract per slot: frames from invocation N
     die when invocation N+1 of the same slot is built; different slots
     never invalidate each other."""
+    pairs = q_minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return slot_scoped_component_labels(spark, slot, pairs,
+                                        "doc_a", "doc_b")
+
+
+def slot_scoped_component_labels(spark, slot: str, pairs: DataFrame,
+                                 a: str, b: str) -> DataFrame:
+    """(doc_id, cluster_id) min-label components over an undirected pair
+    list, with the slot-scoped storage lifetime described above. Shared
+    by the lexical (MinHash) and semantic (embedding-cosine,
+    neardup.semantic_cluster_labels) survivorship gates — their slots
+    are disjoint by prefix, so building one never frees the other."""
     app = spark.sparkContext.applicationId
     key = (app, slot)
     prev = _LAST_LABELS.pop(key, None)
@@ -221,12 +233,10 @@ def neardup_cluster_labels(spark, sf_dir, slot: str) -> DataFrame:
     # never touch OTHER live slots of this app
     for k in [k for k in _LAST_LABELS if k[0] != app]:
         _LAST_LABELS.pop(k, None)
-    pairs = q_minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(
-            pairs.select(F.col("doc_b").alias("src"),
-                         F.col("doc_a").alias("dst"))
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         )
     )
     labels = connected_components(edges)

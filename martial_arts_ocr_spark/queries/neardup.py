@@ -457,6 +457,33 @@ def _learned_centroids(spark, sf_dir):
     return _CENTS_CACHE[sf_dir]
 
 
+def _baked_centroid_values() -> tuple[str, str]:
+    """(sf_dir, SQL VALUES rows) of the converged k-means centroids from
+    the pure-numpy mirror over the gate's parquet (env
+    SPARK_GRAFT_ORACLE_SF, default sf0.01) — the baked-literal technique
+    every centroid-dependent oracle shares (_oracle_ivf and the semantic
+    -prune CTEs). Called only at oracle materialization time, never at
+    module import."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    cents = kmeans_centroids_mirror([r[1] for r in rows],
+                                    vec_ids=[r[0] for r in rows])
+    vals = ", ".join(
+        f"({j}, [" + ", ".join(repr(float(v)) for v in c) + "])"
+        for j, c in enumerate(cents)
+    )
+    return sf, vals
+
+
 def q_ivf_ann_top5(spark, sf_dir):
     """IVF ANN with a LEARNED coarse quantizer: 4 Lloyd iterations train
     16 centroids (kmeans_centroids_spark); every vector is indexed in its
@@ -538,23 +565,7 @@ def _oracle_ivf() -> str:
     what tests/oracle_check.py does; the driver gate runs at sf0.01 and
     needs nothing. Every other oracle reads only the pre-registered views
     and has no such coupling."""
-    import os
-
-    import duckdb
-
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT vec_id, embedding FROM "
-        f"read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
-    ).fetchall()
-    con.close()
-    cents = kmeans_centroids_mirror([r[1] for r in rows],
-                                    vec_ids=[r[0] for r in rows])
-    rows = ", ".join(
-        f"({j}, [" + ", ".join(repr(float(v)) for v in c) + "])"
-        for j, c in enumerate(cents)
-    )
+    sf, rows = _baked_centroid_values()
     return f"""
 -- IVF centroid literals learned from: {sf}/embeddings.parquet
 -- (if this path is not the SF under comparison, export
@@ -811,12 +822,159 @@ ORDER BY gram_hash
 """
 
 
+# --- SemDeDup-style semantic pruning (round-8 VERDICT item 5) --------------------
+#
+# The keep-set's near-dup gate is lexical (MinHash/Jaccard); this is the
+# embedding analogue from the SemDeDup recipe (Abbas et al. 2023, public):
+# cluster the corpus with the learned k-means quantizer, and within each
+# cluster drop every document whose cosine similarity ties it (directly or
+# transitively) to a kept representative — min-doc_id survivorship over
+# connected components of the in-cluster high-cosine pair graph, the same
+# CC machinery as the lexical gate. 100 TB shape: assignment is the flat-
+# in-K broadcast argmax (no window); candidate pairs come ONLY from an
+# equi-join on the cluster id (never all-pairs — K scales with N so the
+# per-cluster pair count is the SemDeDup paper's own knob); CC runs on the
+# pairs-sized edge set.
+
+_SEM_THRESH = 0.35          # round-5 cosine at/above which two in-cluster
+                            # docs are semantic duplicates (fixture-scaled;
+                            # production SemDeDup uses ~0.95+ on real
+                            # embedding geometry)
+
+
+def _sem_assigned(spark, sf_dir):
+    """Top-1 max-cosine centroid assignment of every embedding, session-
+    cached (the LSH-signature pattern): (vec_id, embedding, nrm, cent_id).
+    No window — argmax via min over (-cos, cent_id, ...) structs after a
+    broadcast join, the same flat-in-K shape as _assign_broadcast; the
+    cosine is rounded to 7 BEFORE the argmax and ties break on cent_id
+    ASC, so the DuckDB mirror (row_number over round-7 cosine DESC,
+    cent_id ASC) picks identical clusters."""
+    from .similarity import _SIG_CACHE, _sig_cache_put
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sem_assign")
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        cents = _cents_df(spark, _learned_centroids(spark, sf_dir))
+        mc = F.struct(
+            (-F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("cvec"))), 7,
+            )).alias("negcos"),
+            F.col("cent_id").alias("c"),
+            F.col("embedding").alias("e"),
+        )
+        df = (
+            _emb(spark, sf_dir).select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.min(mc).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.e").alias("embedding"),
+                F.col("m.c").alias("cent_id"),
+                _norm(F.col("m.e")).alias("nrm"),
+            )
+            .persist()
+        )
+        _sig_cache_put(spark, key, df)
+    return df
+
+
+def semantic_neardup_pairs(spark, sf_dir):
+    """(vec_a, vec_b) in-cluster pairs with round-5 cosine >= _SEM_THRESH
+    — candidates come only from the cluster equi-join."""
+    asg = _sem_assigned(spark, sf_dir)
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")), 5,
+    )
+    return (
+        a.join(b, (F.col("a.cent_id") == F.col("b.cent_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= F.lit(_SEM_THRESH))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+    )
+
+
+def semantic_cluster_labels(spark, sf_dir, slot: str):
+    """(doc_id, cluster_id) semantic-duplicate component labels (vec_id
+    IS doc_id for embedded docs); slot-scoped storage lifetime shared
+    with the lexical labels via graph.slot_scoped_component_labels —
+    the 'sem:' prefix keeps the two gates' slots disjoint."""
+    from .graph import slot_scoped_component_labels
+
+    pairs = semantic_neardup_pairs(spark, sf_dir)
+    return slot_scoped_component_labels(spark, f"sem:{slot}", pairs,
+                                        "vec_a", "vec_b")
+
+
+def q_semantic_dedup_clusters(spark, sf_dir):
+    return (semantic_cluster_labels(spark, sf_dir,
+                                    slot="semantic_dedup_clusters")
+            .orderBy("doc_id"))
+
+
+def semantic_ctes() -> str:
+    """The semantic-prune cluster machinery WITHOUT the WITH keyword or a
+    final select, so composed oracles (corpus_keep_set's seventh gate)
+    can splice it into their own ``WITH RECURSIVE`` list (the
+    clusters_ctes pattern). Terminal CTE: ``slabels(doc_id, cluster_id)``.
+    Bakes the mirror-learned centroid literals — callable-only, resolved
+    at oracle_sql() time."""
+    sf, vals = _baked_centroid_values()
+    return f"""-- k-means centroid literals learned from: {sf}/embeddings.parquet
+scents(cent_id, cvec) AS (VALUES {vals}),
+sassign AS MATERIALIZED (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), c.cvec), 7)
+                        DESC, c.cent_id ASC) AS rk
+    FROM embeddings e CROSS JOIN scents c
+  ) WHERE rk = 1
+),
+spairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM sassign a JOIN sassign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 5) >= {_SEM_THRESH}
+),
+sedges AS MATERIALIZED (
+  SELECT src, dst FROM spairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM spairs
+),
+snodes AS (SELECT DISTINCT src AS doc FROM sedges),
+sreach(doc, lbl) AS (
+  SELECT doc, doc FROM snodes
+  UNION
+  SELECT e.dst, r.lbl FROM sreach r JOIN sedges e ON e.src = r.doc
+),
+slabels AS (
+  SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM sreach GROUP BY doc
+)"""
+
+
+def _semantic_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {semantic_ctes()}
+SELECT doc_id, cluster_id FROM slabels ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "ivf_recall_curve": q_ivf_recall_curve,
     "repeated_spans": q_repeated_spans,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
     "jaccard_neardup_pairs": q_jaccard_neardup_pairs,
     "ivf_ann_top5": q_ivf_ann_top5,
+    "semantic_dedup_clusters": q_semantic_dedup_clusters,
 }
 
 ORACLES = {
@@ -828,4 +986,5 @@ ORACLES = {
     "jaccard_neardup_pairs": _oracle_jaccard_pairs,
     # callable: baked centroid literals resolved lazily by oracle_sql()
     "ivf_ann_top5": _oracle_ivf,
+    "semantic_dedup_clusters": _semantic_clusters_oracle,
 }

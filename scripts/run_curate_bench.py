@@ -1,4 +1,4 @@
-"""Sustained curation-pipeline throughput: the composed six-gate
+"""Sustained curation-pipeline throughput: the composed seven-gate
 keep-set and the tokenize-and-pack stage over a large replicated corpus
 (default 200k docs) at local[32] — the curation counterpart of the
 sustained-extraction number in BASELINE.md.

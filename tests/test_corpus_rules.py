@@ -95,7 +95,7 @@ def test_source_mixing_weights_properties(spark):
     assert small["mix_weight"] > small["total_tokens"] / tok_total
 
 
-def test_neardup_gate_fires_both_ways(con):
+def test_neardup_gate_fires_both_ways(con, monkeypatch):
     """The sixth keep-set gate (near-dup cluster survivorship) must
     discriminate on the smallest SF: some docs are non-min members of a
     verified near-dup cluster (killed), cluster minima survive, and the
@@ -104,6 +104,9 @@ def test_neardup_gate_fires_both_ways(con):
     from martial_arts_ocr_spark.queries.corpus import _oracle_corpus_keep_set
     from martial_arts_ocr_spark.queries.graph import _clusters_oracle
 
+    # the keep-set oracle now also bakes the semantic gate's centroid
+    # literals — learn them from THIS test's SF, not the gate default
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", SF)
     con.execute(
         f"CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM "
         f"read_parquet('{SF}/embeddings.parquet')")
@@ -119,6 +122,36 @@ def test_neardup_gate_fires_both_ways(con):
     for cid in set(by_doc.values()):
         members = [d for d, c in by_doc.items() if c == cid]
         survivors = [d for d in members if keep.loc[d, "neardup_survivor"]]
+        assert survivors == [min(members)], (cid, survivors)
+
+
+def test_semantic_gate_fires_both_ways(con, monkeypatch):
+    """The seventh keep-set gate (round-8, SemDeDup-style semantic
+    survivorship) — same contract as the lexical gate: non-min members
+    of an in-k-means-cluster high-cosine component are killed, component
+    minima and unclustered docs survive, and the gate is exactly
+    'doc_id == min(component)' for every member."""
+    from martial_arts_ocr_spark.queries.corpus import _oracle_corpus_keep_set
+    from martial_arts_ocr_spark.queries.neardup import (
+        _semantic_clusters_oracle,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", SF)
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')")
+    keep = con.execute(_oracle_corpus_keep_set()).df().set_index("doc_id")
+    vals = set(keep["sem_survivor"])
+    assert vals == {True, False}, vals
+    labels = con.execute(_semantic_clusters_oracle()).df()
+    by_doc = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    assert len(by_doc) > 0
+    for doc_id, row in keep.iterrows():
+        expected = doc_id not in by_doc or by_doc[doc_id] == doc_id
+        assert bool(row["sem_survivor"]) == expected, doc_id
+    for cid in set(by_doc.values()):
+        members = [d for d, c in by_doc.items() if c == cid]
+        survivors = [d for d in members if keep.loc[d, "sem_survivor"]]
         assert survivors == [min(members)], (cid, survivors)
 
 

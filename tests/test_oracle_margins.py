@@ -107,6 +107,38 @@ def test_ivf_serving_cosine_margins(sf):
 
 
 @pytest.mark.parametrize("sf", SFS)
+def test_semantic_pair_cosine_margins(sf):
+    """The round-8 semantic gate compares round-5 in-cluster pair cosines
+    to _SEM_THRESH — Spark's sequential fold and DuckDB's
+    list_cosine_similarity differ in low bits, so the hazard is a raw
+    cosine sitting ON a round-5 half boundary. Audit every in-top1-
+    cluster pair at each SF (the >= compare itself runs on identical
+    rounded doubles and is safe)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from martial_arts_ocr_spark.queries.neardup import (
+        kmeans_centroids_mirror,
+    )
+
+    ids, X = _embeddings(sf)
+    C = np.asarray(kmeans_centroids_mirror(X, vec_ids=list(ids)),
+                   dtype=np.float64)
+    ccos = np.round((X @ C.T) / np.outer(np.linalg.norm(X, axis=1),
+                                         np.linalg.norm(C, axis=1)), 7)
+    assign = ccos.argmax(axis=1)        # first max == lowest cent_id tie
+    nrm = np.linalg.norm(X, axis=1)
+    pair_cos = []
+    for c in set(assign.tolist()):
+        idx = np.where(assign == c)[0]
+        sub = (X[idx] @ X[idx].T) / np.outer(nrm[idx], nrm[idx])
+        iu = np.triu_indices(len(idx), k=1)
+        pair_cos.append(sub[iu])
+    pair_cos = np.concatenate(pair_cos)
+    assert _boundary_dist(pair_cos, 5).min() > _WOBBLE_MARGIN, sf
+
+
+@pytest.mark.parametrize("sf", SFS)
 def test_lsh_sign_margins(sf):
     """The LSH bucket bit is sign(round7(x·plane)) on both engines — audit
     that no projection sits near the round-7 boundary OR near zero (where

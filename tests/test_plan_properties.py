@@ -160,12 +160,31 @@ def test_corpus_keep_set_single_pass_shape(spark):
     """The composed curation pipeline must stay one pass over the corpus:
     map-only gates fused into the scan, decontamination via broadcast
     joins, dedup survivorship as an equi join — never a cartesian, and
-    exactly one Arrow UDF stage (the LM scorer)."""
+    exactly one Arrow UDF stage (the LM scorer). Both cluster-label
+    gates (lexical + semantic) enter as pre-materialized pairs-sized
+    RDD scans, so they add joins but no UDF/product to this plan."""
     plan = _plan(spark, "corpus_keep_set")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_pair_join_is_equi_not_cartesian(spark):
+    """The SemDeDup gate's candidate pairs must come from the cluster-id
+    equi-join only — never an all-pairs product. (The K-row centroid
+    broadcast inside the assignment is the deliberate flat-in-K
+    BroadcastNestedLoopJoin, same as _assign_broadcast — K rows, not
+    data×data.)"""
+    from martial_arts_ocr_spark.queries.neardup import (
+        semantic_neardup_pairs,
+    )
+
+    plan = (semantic_neardup_pairs(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan[:1200]
 
 
 def test_curation_funnel_and_epoch_order_shapes(spark):

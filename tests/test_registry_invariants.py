@@ -34,7 +34,7 @@ def test_oracles_materialize_to_sql():
 def test_registry_size_frozen_for_round():
     # driver-gate hygiene (VERDICT r2 item 6): grow this ONLY before the
     # gate runs, never after
-    assert len(ALL_QUERIES) == 79
+    assert len(ALL_QUERIES) == 81
 
 
 # The 50 names the round-7 driver gate blessed (CORRECTNESS_r07.json, all

@@ -114,6 +114,101 @@ def test_dedup_stream_flags_cross_and_in_batch_dups(spark, tmp_path):
     assert state_rows and state_rows[-1] == 4, state_rows
 
 
+def test_stream_to_keep_set_composition(spark, tmp_path):
+    """The ingest-to-keep-set story END TO END (r7 VERDICT item 7): a
+    file-source stream runs dedup_stream; its survivors are anti-joined
+    against the durable sigstore (which catches the post-TTL replay the
+    stream missed), land in a documents table, the sigstore snapshot
+    append covers them, and corpus_keep_set consumes the result — one
+    composed pipeline, each piece the production surface."""
+    import numpy as np
+    import pandas as pd
+
+    from martial_arts_ocr_spark.engine.sigstore import (
+        append_snapshot_signatures,
+        dedup_new_snapshot,
+    )
+    from martial_arts_ocr_spark.queries.corpus import q_corpus_keep_set
+    from martial_arts_ocr_spark.streaming import dedup_stream
+
+    def body(seed):
+        # per-doc vocabularies must be DISJOINT: the store anti-join is
+        # MinHash-band near-dup, so texts built as rotations of one word
+        # cycle share nearly all shingles and everything after snapshot 1
+        # flags dup_vs_store (found the hard way)
+        return " ".join(f"word{seed}x{(seed * 31 + i) % 97}"
+                        for i in range(80)) + "."
+
+    path = str(tmp_path / "docs")
+    # batch 1: three distinct docs; batch 2: filler (ages out batch 1's
+    # state); batch 3: a post-eviction replay of doc 0's body + one new doc
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": [body(0), body(1), body(2)]})
+    b2 = pd.DataFrame({"doc_id": [3], "text": [body(3)]})
+    b3 = pd.DataFrame({"doc_id": [4, 5], "text": [body(0), body(5)]})
+    spark.createDataFrame(b1).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b3).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        dedup_stream(stream, idle_ttl_ms=1).writeStream.format("memory")
+        .queryName("ingest").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    _drain(q, 6)
+    verdicts = spark.sql("SELECT * FROM ingest").collect()
+    q.stop()
+    passed = {r.doc_id for r in verdicts if not r.is_dup}
+    assert 4 in passed               # the stream-side MISS (post-TTL)
+
+    # the batch handoff: stream survivors probe + append the durable
+    # store per micro-batch's worth of rows (snapshot = arrival batch)
+    sroot = str(tmp_path / "sigstore")
+    landed = []
+    all_docs = pd.concat([b1, b2, b3], ignore_index=True)
+    for snap, batch in (("s1", b1), ("s2", b2), ("s3", b3)):
+        surv = batch[batch["doc_id"].isin(passed)]
+        sdf = spark.createDataFrame(surv, "doc_id long, text string")
+        fresh = {r.doc_id for r in dedup_new_snapshot(spark, sroot, sdf)
+                 .collect() if not r["dup_vs_store"]}
+        kept = surv[surv["doc_id"].isin(fresh)]
+        append_snapshot_signatures(
+            spark, sroot,
+            spark.createDataFrame(kept, "doc_id long, text string"),
+            snapshot=snap)
+        landed.append(kept)
+    landed = pd.concat(landed, ignore_index=True)
+    # doc 4 (the stream miss) was caught by the store anti-join
+    assert set(landed["doc_id"]) == {0, 1, 2, 3, 5}
+
+    # land survivors as a curation input dir and run the SEVEN-gate
+    # keep-set over it (documents + a small synthetic embeddings table)
+    sf_dir = str(tmp_path / "sf")
+    docs = landed.assign(
+        lang="en", source="stream",
+        n_chars=landed["text"].str.len().astype("int64"))
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet")
+    rng = np.random.RandomState(8)
+    emb = [(int(i), [float(v) for v in rng.randn(64)], int(i % 2))
+           for i in range(20)]
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    keep = {r.doc_id: r for r in q_corpus_keep_set(spark, sf_dir).collect()}
+    assert set(keep) == {0, 1, 2, 3, 5}        # replay never reaches gates
+    # everything that landed is content-distinct: the batch dup gate agrees
+    assert all(r.dup_survivor for r in keep.values())
+    assert all(r.kept in (True, False) for r in keep.values())
+
+
 def test_post_eviction_dup_caught_by_store(spark, tmp_path):
     """The combined stream+store contract the dedup_stream docstring
     promises (r6 VERDICT item 6): a duplicate arriving AFTER its hash's
