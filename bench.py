@@ -230,28 +230,30 @@ def main() -> None:
         # estimate). r5 quiet-box sequential sample (code-identical):
         # median 0.926 over [0.926, 0.845, 0.939, 0.939, 0.891, 0.748,
         # 0.935], lo 1469.4 / hi 5443.7.
-        # Round-7 numbers of record: 3 INTERLEAVED pairs with per-pair
-        # anchors (600/886/739 docs/s — the host still cycles), plus one
-        # sequential pair at anchor 754 measuring 0.828. Day-pooled
-        # best-per-side floor 1.00 (best lo 1394.8, best hi 5588.0).
-        # BASELINE.md round 7 has all samples.
-        rounds_r7 = [0.784, 1.002, 0.936]
+        # Round-7 numbers of record: 3 INTERLEAVED pairs, per-pair anchors
+        # 600/886/739 (cycling host), median 0.936, day-pooled floor 1.00.
+        # Round-8 numbers of record: 3 INTERLEAVED pairs, ALL at healthy
+        # anchors (951/960/869 docs/s — the cleanest anchor set yet;
+        # post-session anchor 726 shows the window closing right after).
+        # Day-pooled best-per-side floor 0.844 (best lo 1538.0, best hi
+        # 5192.6 over 9 draws/side). BASELINE.md round 8 has all samples.
+        rounds_r8 = [0.993, 0.853, 0.810]
         result["scaling_recorded"] = {
             "method": "local-cluster 1x2 vs 4x2 executor JVMs, 32k docs, "
                       "uniform input files, best-of-3 per measurement, 3 "
                       "INTERLEAVED lo/hi alternations per pair with best "
-                      "per side, 3 pairs, per-pair anchors 600/886/739 "
-                      "docs/s single-proc (cycling host); same-session "
-                      "sequential pair 0.828 at anchor 754; day-pooled "
-                      "best-per-side floor 1.00 (best lo 1394.8, best hi "
-                      "5588.0 over 9 draws/side); r6 interleaved median "
+                      "per side, 3 pairs, per-pair anchors 951/960/869 "
+                      "docs/s single-proc (all healthy — the cleanest "
+                      "sample across rounds); day-pooled best-per-side "
+                      "floor 0.844 (best lo 1538.0, best hi 5192.6 over "
+                      "9 draws/side); r7 interleaved median 0.936, r6 "
                       "0.863; symmetric outlier reporting per round-3 "
                       "ADVICE",
-            "lo_docs_per_sec": 1117.1,     # the median pair's best side
-            "hi_docs_per_sec": 4184.4,
-            "efficiency": _median(rounds_r7),
-            "efficiency_sym_trimmed": _median(sorted(rounds_r7)[1:-1]),
-            "paired_rounds": rounds_r7,
+            "lo_docs_per_sec": 1521.2,     # the median pair's best side
+            "hi_docs_per_sec": 5192.6,
+            "efficiency": _median(rounds_r8),
+            "efficiency_sym_trimmed": _median(sorted(rounds_r8)[1:-1]),
+            "paired_rounds": rounds_r8,
         }
 
     print(json.dumps(result))
