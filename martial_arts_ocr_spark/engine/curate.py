@@ -6,9 +6,10 @@ for a training-data pipeline).
 
 Stages:
 
-1. **Gate stage** — the six-gate keep-set (queries/corpus.py:
+1. **Gate stage** — the seven-gate keep-set (queries/corpus.py:
    q_corpus_keep_set — Gopher + LM + exact-dup survivorship + near-dup
-   cluster survivorship + decontamination + embedding classifier) is
+   cluster survivorship + semantic-dup (SemDeDup) survivorship +
+   decontamination + embedding classifier) is
    materialized once per run under ``curation_flags/run_id=<id>`` and
    snapshot-logged; a resume that finds the snapshot skips the whole
    stage.
@@ -138,21 +139,29 @@ def _kept_path(root: str, run_id: str) -> str:
                         f"run_id={run_id}")
 
 
-def read_kept_buckets(spark: SparkSession, root: str, run_id: str,
-                      buckets: list[int]) -> DataFrame:
-    """Read ONLY the given buckets' partition dirs of the kept-docs table
-    — pruning by construction (the reader never lists the other buckets;
-    at tens of thousands of buckets that is the difference between O(wave)
+def _read_bucket_dirs(spark: SparkSession, base: str, buckets: list[int],
+                      schema: str, cols: list[str]) -> DataFrame:
+    """Bucket-pruned partition-dir reader shared by every wave reader:
+    reads ONLY the named ``bucket=K`` dirs (never lists the others — at
+    tens of thousands of buckets that is the difference between O(wave)
     and O(corpus) IO per wave). Empty buckets have no dir (partitionBy
-    writes none) and contribute no rows."""
-    base = _kept_path(root, run_id)
+    writes none, r7 gotcha) and contribute no rows; when NONE exist the
+    frame is schema-pinned empty (ADVICE r6)."""
     dirs = [os.path.join(base, f"bucket={int(b)}") for b in buckets]
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
-        return spark.createDataFrame([], _KEPT_SCHEMA)
-    return (spark.read.schema(_KEPT_SCHEMA + ", bucket bigint")
+        return spark.createDataFrame([], schema)
+    return (spark.read.schema(schema + ", bucket bigint")
             .option("basePath", base).parquet(*dirs)
-            .select("doc_id", "text"))      # bucket re-derived by the packer
+            .select(*cols))                # bucket re-derived by the packer
+
+
+def read_kept_buckets(spark: SparkSession, root: str, run_id: str,
+                      buckets: list[int]) -> DataFrame:
+    """Read ONLY the given buckets' partition dirs of the kept-docs table
+    (see _read_bucket_dirs for the pruning contract)."""
+    return _read_bucket_dirs(spark, _kept_path(root, run_id), buckets,
+                             _KEPT_SCHEMA, ["doc_id", "text"])
 
 
 _EPOCH_SCHEMA = ("epoch bigint, pos_in_bucket bigint, seq_in_bucket bigint, "
@@ -206,11 +215,18 @@ def read_epoch_stream(spark: SparkSession, root: str, run_id: str,
     partitioned on disk, so the join co-locates per shard and a reader
     pulling one shard touches exactly two bucket=K dirs. No global sort
     anywhere (the shard contract — see epoch_order_frame)."""
-    order = read_epoch_order(spark, root, run_id, epoch)
-    packed = read_packed(spark, root).select(
-        "bucket", "seq_in_bucket", "n_tokens", "token_ids")
+    return _order_join_packed(read_epoch_order(spark, root, run_id, epoch),
+                              read_packed(spark, root))
+
+
+def _order_join_packed(order: DataFrame, packed: DataFrame) -> DataFrame:
+    """The reader-contract join shared by both epoch-stream surfaces:
+    bucket-local (both tables are bucket-partitioned on disk, so the join
+    co-locates per shard), NO global sort — the shard contract."""
     return (order.select("bucket", "pos_in_bucket", "seq_in_bucket")
-            .join(packed, ["bucket", "seq_in_bucket"]))
+            .join(packed.select("bucket", "seq_in_bucket",
+                                "n_tokens", "token_ids"),
+                  ["bucket", "seq_in_bucket"]))
 
 
 def _guard_foreign_runs(root: str, run_id: str, packed_table: str) -> None:
@@ -267,6 +283,51 @@ def completed_pack_buckets(spark: SparkSession, root: str,
     return {int(r["bucket"]) for r in rows}
 
 
+def _commit_wave_buckets(packed: DataFrame, run_id: str, wave: list[int],
+                         root: str, tmp_name: str, dest_path: str) -> None:
+    """The pack wave's atomic commit, shared by both runners: tmp write
+    partitioned by bucket -> per-bucket dir replace (idempotent wave
+    re-run); a bucket with zero kept docs still completes — emit the bare
+    partition dir so resume marks it done (r7 gotcha: partitionBy writes
+    no dir for empty partitions)."""
+    tmp = os.path.join(root, tmp_name)
+    (packed.withColumn("run_id", F.lit(run_id))
+     .repartition(len(wave), "bucket")
+     .sortWithinPartitions("bucket", "seq_in_bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    os.makedirs(dest_path, exist_ok=True)
+    for b in wave:
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = os.path.join(dest_path, f"bucket={b}")
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)            # idempotent wave re-run
+            os.replace(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)   # empty bucket still done
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _commit_epoch_order(packed: DataFrame, epoch: int, n_buckets: int,
+                        root: str, tmp_name: str, dst: str) -> None:
+    """The epoch-order stage's atomic commit, shared by both runners:
+    epoch_order_frame for ONE epoch (never all-epochs-then-filter — r7
+    review) -> tmp write bucket-partitioned -> dir swap (idempotent epoch
+    re-run). ``epoch`` is carried by the epoch=E partition dir — keeping
+    it as a data column too would trip partition-column conflict on read
+    (round-5 gotcha)."""
+    order = epoch_order_frame(
+        packed.select("bucket", "seq_in_bucket"), [epoch]).drop("epoch")
+    tmp = os.path.join(root, tmp_name)
+    (order.repartition(n_buckets, "bucket")
+     .sortWithinPartitions("bucket", "pos_in_bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)                    # idempotent epoch re-run
+    os.replace(tmp, dst)
+
+
 def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
                batch_size: int = 4, n_buckets: int = N_BUCKETS,
                ctx_len: int = CTX_LEN, max_waves: int | None = None,
@@ -275,7 +336,7 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
     """Run (or resume) the curation pipeline; returns a summary dict.
 
     ``docs_dir`` must hold ``documents.parquet`` and
-    ``embeddings.parquet`` (the keep-set's six gates read both).
+    ``embeddings.parquet`` (the keep-set's seven gates read both).
     ``max_waves`` bounds this invocation's pack waves and ``max_epochs``
     this invocation's epoch-order writes — the crash-test hooks (same
     role as stopping run_checkpointed mid-run). ``n_epochs`` shapes the
@@ -332,24 +393,8 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
         sub = read_kept_buckets(spark, root, run_id, wave)
         packed = pack_token_sequences(sub, ctx_len=ctx_len,
                                       n_buckets=n_buckets)
-        tmp = os.path.join(root, f"_pack_tmp_{run_id}_{wave[0]}")
-        (packed.withColumn("run_id", F.lit(run_id))
-         .repartition(len(wave), "bucket")
-         .sortWithinPartitions("bucket", "seq_in_bucket")
-         .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-        os.makedirs(packed_path, exist_ok=True)
-        for b in wave:
-            src = os.path.join(tmp, f"bucket={b}")
-            dst = os.path.join(packed_path, f"bucket={b}")
-            if os.path.isdir(src):
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)        # idempotent wave re-run
-                os.replace(src, dst)
-            else:
-                # a bucket with zero kept docs still completes: emit the
-                # empty partition dir so resume marks it done
-                os.makedirs(dst, exist_ok=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _commit_wave_buckets(packed, run_id, wave, root,
+                             f"_pack_tmp_{run_id}_{wave[0]}", packed_path)
         sid = catalog.append_snapshot(root, PACKED_TABLE, {
             "run_id": run_id, "wave": wave_no,
             "buckets": [int(b) for b in wave],
@@ -392,23 +437,9 @@ def run_curate(spark: SparkSession, docs_dir: str, root: str, run_id: str,
             todo = todo[:max_epochs]
         edir = _epoch_path(root, run_id)
         for e in todo:
-            # epoch is carried by the epoch=E partition dir — keeping it
-            # as a data column too would trip partition-column conflict
-            # on read (round-5 gotcha). [e]: generate only THIS epoch's
-            # rows (r7 review — the all-epochs-then-filter shape was
-            # O(n_epochs²) rows + one packed scan per epoch)
-            order = epoch_order_frame(
-                packed.select("bucket", "seq_in_bucket"), [e]
-            ).drop("epoch")
-            tmp = os.path.join(root, f"_epoch_tmp_{run_id}_{e}")
-            (order.repartition(n_buckets, "bucket")
-             .sortWithinPartitions("bucket", "pos_in_bucket")
-             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-            os.makedirs(edir, exist_ok=True)
-            dst = os.path.join(edir, f"epoch={e}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)            # idempotent epoch re-run
-            os.replace(tmp, dst)
+            _commit_epoch_order(packed, e, n_buckets, root,
+                                f"_epoch_tmp_{run_id}_{e}",
+                                os.path.join(edir, f"epoch={e}"))
             catalog.append_snapshot(root, EPOCH_TABLE,
                                     {"run_id": run_id, "stage": "epoch",
                                      "epoch": int(e)})
@@ -489,17 +520,11 @@ def completed_mix_pack(spark: SparkSession, root: str,
 
 def read_mixture_sampled(spark: SparkSession, root: str, run_id: str,
                          epoch: int, buckets: list[int]) -> DataFrame:
-    """Wave reader for one epoch's sampled docs — reads ONLY the given
-    bucket dirs (the read_kept_buckets pruning contract); empty buckets
-    have no dir and contribute no rows."""
-    base = _mix_docs_path(root, run_id, epoch)
-    dirs = [os.path.join(base, f"bucket={int(b)}") for b in buckets]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    if not dirs:
-        return spark.createDataFrame([], _SAMPLED_SCHEMA)
-    return (spark.read.schema(_SAMPLED_SCHEMA + ", bucket bigint")
-            .option("basePath", base).parquet(*dirs)
-            .select("doc_id", "source", "text"))
+    """Wave reader for one epoch's sampled docs (see _read_bucket_dirs
+    for the shared pruning contract)."""
+    return _read_bucket_dirs(spark, _mix_docs_path(root, run_id, epoch),
+                             buckets, _SAMPLED_SCHEMA,
+                             ["doc_id", "source", "text"])
 
 
 def read_mixture_packed(spark: SparkSession, root: str, run_id: str,
@@ -524,10 +549,8 @@ def read_mixture_epoch_stream(spark: SparkSession, root: str, run_id: str,
              .schema("pos_in_bucket bigint, seq_in_bucket bigint, "
                      "shuffle_key string, bucket bigint")
              .option("basePath", base).parquet(base))
-    packed = read_mixture_packed(spark, root, run_id, epoch).select(
-        "bucket", "seq_in_bucket", "n_tokens", "token_ids")
-    return (order.select("bucket", "pos_in_bucket", "seq_in_bucket")
-            .join(packed, ["bucket", "seq_in_bucket"]))
+    return _order_join_packed(
+        order, read_mixture_packed(spark, root, run_id, epoch))
 
 
 def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
@@ -591,9 +614,19 @@ def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
                 .alias("bucket"))
              .repartition(_kept_shuffle_width(spark, n_buckets), "bucket")
              .write.mode("overwrite").partitionBy("bucket").parquet(spath))
+            # per-source counts ride IN the snapshot (r8 review): computed
+            # once at commit time from the just-written table, so the
+            # summary below — and every no-op resume/status poll — never
+            # re-scans the sample tables
+            counts = {
+                r["source"]: int(r["n"])
+                for r in read_mixture_sampled(spark, root, run_id, e,
+                                              list(range(n_buckets)))
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
             catalog.append_snapshot(root, MIXTURE_DOCS_TABLE,
                                     {"run_id": run_id, "stage": "mix_sample",
-                                     "epoch": int(e)})
+                                     "epoch": int(e), "counts": counts})
             sampled_done.add(e)
 
         # --- pack stage: this epoch's buckets, checkpointed waves ---------
@@ -610,22 +643,9 @@ def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
                 .select("doc_id", "text")
             packed = pack_token_sequences(sub, ctx_len=ctx_len,
                                           n_buckets=n_buckets)
-            tmp = os.path.join(root, f"_mixpack_tmp_{run_id}_{e}_{wave[0]}")
-            (packed.withColumn("run_id", F.lit(run_id))
-             .repartition(len(wave), "bucket")
-             .sortWithinPartitions("bucket", "seq_in_bucket")
-             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-            os.makedirs(ppath, exist_ok=True)
-            for b in wave:
-                src = os.path.join(tmp, f"bucket={b}")
-                dst = os.path.join(ppath, f"bucket={b}")
-                if os.path.isdir(src):
-                    if os.path.isdir(dst):
-                        shutil.rmtree(dst)        # idempotent wave re-run
-                    os.replace(src, dst)
-                else:
-                    os.makedirs(dst, exist_ok=True)   # empty bucket done
-            shutil.rmtree(tmp, ignore_errors=True)
+            _commit_wave_buckets(packed, run_id, wave, root,
+                                 f"_mixpack_tmp_{run_id}_{e}_{wave[0]}",
+                                 ppath)
             sid = catalog.append_snapshot(root, MIXTURE_PACKED_TABLE, {
                 "run_id": run_id, "epoch": int(e),
                 "buckets": [int(b) for b in wave],
@@ -641,18 +661,9 @@ def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
         epoch_packed = {b for ee, b in pack_done if ee == e}
         if e not in order_done and len(epoch_packed) == n_buckets:
             packed_e = read_mixture_packed(spark, root, run_id, e)
-            order = epoch_order_frame(
-                packed_e.select("bucket", "seq_in_bucket"), [e]
-            ).drop("epoch")
-            tmp = os.path.join(root, f"_mixorder_tmp_{run_id}_{e}")
-            (order.repartition(n_buckets, "bucket")
-             .sortWithinPartitions("bucket", "pos_in_bucket")
-             .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-            dst = _mix_epoch_path(root, run_id, e)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)                # idempotent epoch re-run
-            os.replace(tmp, dst)
+            _commit_epoch_order(packed_e, e, n_buckets, root,
+                                f"_mixorder_tmp_{run_id}_{e}",
+                                _mix_epoch_path(root, run_id, e))
             catalog.append_snapshot(root, MIXTURE_EPOCH_TABLE,
                                     {"run_id": run_id, "stage": "mix_epoch",
                                      "epoch": int(e)})
@@ -668,11 +679,20 @@ def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
                  for (s, nd, q, nt) in grid],
         "sampled": {},
     }
-    for e in sorted(sampled_done):
-        rows = (read_mixture_sampled(spark, root, run_id, e,
-                                     list(range(n_buckets)))
-                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-                .collect())
-        summary["sampled"][int(e)] = {r["source"]: int(r["n"])
-                                      for r in rows}
+    # counts come from the sample snapshots (written once at commit time)
+    # — a resume/status poll with nothing to do launches NO Spark jobs
+    # here (r8 review); the table-scan fallback covers pre-r8 snapshots
+    for s in catalog.read_snapshots(root, MIXTURE_DOCS_TABLE):
+        if s.get("run_id") != run_id or s.get("stage") != "mix_sample":
+            continue
+        e = int(s["epoch"])
+        if "counts" in s:
+            summary["sampled"][e] = dict(s["counts"])
+        else:
+            rows = (read_mixture_sampled(spark, root, run_id, e,
+                                         list(range(n_buckets)))
+                    .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                    .collect())
+            summary["sampled"][e] = {r["source"]: int(r["n"])
+                                     for r in rows}
     return summary

@@ -104,6 +104,88 @@ def epoch_order_frame(packed: DataFrame,
     )
 
 
+def _prepped(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Shared packer input prep: doc_id as STRING across Arrow (round-5
+    gotcha: Spark's Arrow input coercion turns nullable int64 into
+    float64 whenever a null shares the batch, corrupting ids >= 2^53
+    before user code runs), content hash as the order key, pack bucket."""
+    h = content_hash_col()
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        h.alias("h"),
+        pack_bucket_col(h, n_buckets).alias("bucket"),
+    )
+
+
+def _pack_pdf(pdf: pd.DataFrame, merges, ctx_len: int,
+              media: bool) -> pd.DataFrame:
+    """THE per-bucket pack kernel — one definition for both surfaces
+    (text-only and multimodal), so the chunk arithmetic can never drift
+    between them (r8 review). ``media`` toggles the placeholder insertion
+    and the parallel ``media_ids``/``media_offsets`` ref arrays."""
+    import numpy as np
+
+    from . import bpe
+
+    ranks = bpe.merge_ranks(merges)
+    mids = bpe.merged_token_ids(merges)
+    nm = len(merges)
+    pdf = pdf.assign(_did=pdf["doc_id"].astype("int64"))
+    pdf = pdf.sort_values(["h", "_did"], kind="mergesort")
+    stream: list[int] = []
+    bounds: list[tuple[int, int]] = []
+    refs: list[tuple[int, int]] = []            # (global_pos, media_id)
+    pos = 0
+    cache: dict = {}
+    for did, t in zip(pdf["_did"], pdf["text"]):
+        ids = bpe.doc_token_ids(t, ranks, mids, nm, cache)
+        if media:
+            mpos = media_insert_pos(int(did), len(ids))
+            ids.insert(mpos, MEDIA_PLACEHOLDER_ID)
+            refs.append((pos + mpos, int(did)))
+        ids.append(bpe.SEP_ID)
+        bounds.append((pos, pos + len(ids)))
+        stream.extend(ids)
+        pos += len(ids)
+    total = pos
+    cols = ["bucket", "seq_in_bucket", "n_docs_in_seq", "n_tokens",
+            "fill_ratio", "token_ids"]
+    if media:
+        cols += ["media_ids", "media_offsets"]
+    if total == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    arr = np.asarray(stream, dtype=np.int64)
+    n_seqs = -(-total // ctx_len)
+    diff = np.zeros(n_seqs + 1, dtype=np.int64)
+    for s, e in bounds:
+        diff[s // ctx_len] += 1
+        diff[(e - 1) // ctx_len + 1] -= 1
+    n_docs = np.cumsum(diff[:-1])
+    n_tok = np.minimum(ctx_len,
+                       total - ctx_len * np.arange(n_seqs, dtype=np.int64))
+    bucket = int(pdf["bucket"].iloc[0])
+    out = {
+        "bucket": np.full(n_seqs, bucket, dtype=np.int64),
+        "seq_in_bucket": np.arange(n_seqs, dtype=np.int64),
+        "n_docs_in_seq": n_docs,
+        "n_tokens": n_tok,
+        "fill_ratio": n_tok / float(ctx_len),
+        "token_ids": [arr[k * ctx_len:(k + 1) * ctx_len]
+                      for k in range(n_seqs)],
+    }
+    if media:
+        by_seq: dict[int, list[tuple[int, int]]] = {}
+        for gpos, mid in refs:
+            by_seq.setdefault(gpos // ctx_len, []).append(
+                (gpos % ctx_len, mid))
+        out["media_ids"] = [[mid for _o, mid in sorted(by_seq.get(k, []))]
+                            for k in range(n_seqs)]
+        out["media_offsets"] = [[o for o, _mid in sorted(by_seq.get(k, []))]
+                                for k in range(n_seqs)]
+    return pd.DataFrame(out)
+
+
 def pack_token_sequences(docs: DataFrame,
                          ctx_len: int = CTX_LEN,
                          n_buckets: int = N_BUCKETS,
@@ -112,69 +194,19 @@ def pack_token_sequences(docs: DataFrame,
     fill_ratio, token_ids) — token_ids is the training-ready id array.
 
     One shuffle (groupBy bucket), one Arrow-batched pandas stage; the
-    merge table rides the closure as a task-local constant.  doc_id
-    crosses Arrow as a STRING (round-5 gotcha: Spark's Arrow input
-    coercion turns nullable int64 into float64 whenever a null shares the
-    batch, corrupting ids >= 2^53 before user code runs)."""
+    merge table rides the closure as a task-local constant (kernel:
+    _pack_pdf, shared with the multimodal surface)."""
     if merges is None:
         from .bpe_merges_1k import BPE_MERGES_1K
         merges = BPE_MERGES_1K
-    h = content_hash_col()
-    prepped = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "text",
-        h.alias("h"),
-        pack_bucket_col(h, n_buckets).alias("bucket"),
-    )
     schema = ("bucket bigint, seq_in_bucket bigint, n_docs_in_seq bigint, "
               "n_tokens bigint, fill_ratio double, token_ids array<bigint>")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        return _pack_pdf(pdf, merges, ctx_len, media=False)
 
-        from . import bpe
-
-        ranks = bpe.merge_ranks(merges)
-        mids = bpe.merged_token_ids(merges)
-        nm = len(merges)
-        pdf = pdf.assign(_did=pdf["doc_id"].astype("int64"))
-        pdf = pdf.sort_values(["h", "_did"], kind="mergesort")
-        stream: list[int] = []
-        bounds: list[tuple[int, int]] = []
-        pos = 0
-        cache: dict = {}
-        for t in pdf["text"]:
-            ids = bpe.doc_token_ids(t, ranks, mids, nm, cache)
-            ids.append(bpe.SEP_ID)
-            bounds.append((pos, pos + len(ids)))
-            stream.extend(ids)
-            pos += len(ids)
-        total = pos
-        if total == 0:
-            return pd.DataFrame(
-                {c: [] for c in ("bucket", "seq_in_bucket", "n_docs_in_seq",
-                                 "n_tokens", "fill_ratio", "token_ids")})
-        arr = np.asarray(stream, dtype=np.int64)
-        n_seqs = -(-total // ctx_len)
-        diff = np.zeros(n_seqs + 1, dtype=np.int64)
-        for s, e in bounds:
-            diff[s // ctx_len] += 1
-            diff[(e - 1) // ctx_len + 1] -= 1
-        n_docs = np.cumsum(diff[:-1])
-        n_tok = np.minimum(ctx_len,
-                           total - ctx_len * np.arange(n_seqs, dtype=np.int64))
-        bucket = int(pdf["bucket"].iloc[0])
-        return pd.DataFrame({
-            "bucket": np.full(n_seqs, bucket, dtype=np.int64),
-            "seq_in_bucket": np.arange(n_seqs, dtype=np.int64),
-            "n_docs_in_seq": n_docs,
-            "n_tokens": n_tok,
-            "fill_ratio": n_tok / float(ctx_len),
-            "token_ids": [arr[k * ctx_len:(k + 1) * ctx_len]
-                          for k in range(n_seqs)],
-        })
-
-    return prepped.groupBy("bucket").applyInPandas(pack, schema)
+    return _prepped(docs, n_buckets).groupBy("bucket") \
+        .applyInPandas(pack, schema)
 
 
 # --- multimodal training samples (round-8 VERDICT item 4) --------------------
@@ -211,76 +243,17 @@ def pack_multimodal_sequences(docs: DataFrame,
     arithmetic as the text packer with per-doc cost = n_bpe_tokens + 2
     (placeholder + separator); same one-shuffle one-Arrow-stage shape.
     A placeholder spans no chunk boundary (it is one token), so a ref
-    belongs to exactly one sequence."""
+    belongs to exactly one sequence. Kernel: _pack_pdf(media=True) —
+    the SAME chunk arithmetic as the text packer by construction."""
     if merges is None:
         from .bpe_merges_1k import BPE_MERGES_1K
         merges = BPE_MERGES_1K
-    h = content_hash_col()
-    prepped = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "text",
-        h.alias("h"),
-        pack_bucket_col(h, n_buckets).alias("bucket"),
-    )
     schema = ("bucket bigint, seq_in_bucket bigint, n_docs_in_seq bigint, "
               "n_tokens bigint, fill_ratio double, token_ids array<bigint>, "
               "media_ids array<bigint>, media_offsets array<bigint>")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        return _pack_pdf(pdf, merges, ctx_len, media=True)
 
-        from . import bpe
-
-        ranks = bpe.merge_ranks(merges)
-        mids = bpe.merged_token_ids(merges)
-        nm = len(merges)
-        pdf = pdf.assign(_did=pdf["doc_id"].astype("int64"))
-        pdf = pdf.sort_values(["h", "_did"], kind="mergesort")
-        stream: list[int] = []
-        bounds: list[tuple[int, int]] = []
-        refs: list[tuple[int, int]] = []        # (global_pos, media_id)
-        pos = 0
-        cache: dict = {}
-        for did, t in zip(pdf["_did"], pdf["text"]):
-            ids = bpe.doc_token_ids(t, ranks, mids, nm, cache)
-            mpos = media_insert_pos(int(did), len(ids))
-            ids.insert(mpos, MEDIA_PLACEHOLDER_ID)
-            ids.append(bpe.SEP_ID)
-            refs.append((pos + mpos, int(did)))
-            bounds.append((pos, pos + len(ids)))
-            stream.extend(ids)
-            pos += len(ids)
-        total = pos
-        cols = ("bucket", "seq_in_bucket", "n_docs_in_seq", "n_tokens",
-                "fill_ratio", "token_ids", "media_ids", "media_offsets")
-        if total == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        arr = np.asarray(stream, dtype=np.int64)
-        n_seqs = -(-total // ctx_len)
-        diff = np.zeros(n_seqs + 1, dtype=np.int64)
-        for s, e in bounds:
-            diff[s // ctx_len] += 1
-            diff[(e - 1) // ctx_len + 1] -= 1
-        n_docs = np.cumsum(diff[:-1])
-        n_tok = np.minimum(ctx_len,
-                           total - ctx_len * np.arange(n_seqs, dtype=np.int64))
-        by_seq: dict[int, list[tuple[int, int]]] = {}
-        for gpos, mid in refs:
-            by_seq.setdefault(gpos // ctx_len, []).append(
-                (gpos % ctx_len, mid))
-        bucket = int(pdf["bucket"].iloc[0])
-        return pd.DataFrame({
-            "bucket": np.full(n_seqs, bucket, dtype=np.int64),
-            "seq_in_bucket": np.arange(n_seqs, dtype=np.int64),
-            "n_docs_in_seq": n_docs,
-            "n_tokens": n_tok,
-            "fill_ratio": n_tok / float(ctx_len),
-            "token_ids": [arr[k * ctx_len:(k + 1) * ctx_len]
-                          for k in range(n_seqs)],
-            "media_ids": [[mid for _o, mid in sorted(by_seq.get(k, []))]
-                          for k in range(n_seqs)],
-            "media_offsets": [[o for o, _mid in sorted(by_seq.get(k, []))]
-                              for k in range(n_seqs)],
-        })
-
-    return prepped.groupBy("bucket").applyInPandas(pack, schema)
+    return _prepped(docs, n_buckets).groupBy("bucket") \
+        .applyInPandas(pack, schema)

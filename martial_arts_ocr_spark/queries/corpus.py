@@ -1862,7 +1862,10 @@ def mixture_grid_rows(d, epoch_docs: int = _MIX_EPOCH_DOCS) -> list[tuple]:
     tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     per_src = (
         d.groupBy("source")
-        .agg(F.sum(tokens).alias("total_tokens"),
+        # coalesce: a source whose texts are ALL NULL sums to NULL, which
+        # would surface as sqrt_micro=None and a TypeError in the integer
+        # total below — treat it as zero mass instead.
+        .agg(F.coalesce(F.sum(tokens), F.lit(0)).alias("total_tokens"),
              F.count(F.lit(1)).alias("n_docs"))
         .select(
             "source", "n_docs",
@@ -1871,13 +1874,38 @@ def mixture_grid_rows(d, epoch_docs: int = _MIX_EPOCH_DOCS) -> list[tuple]:
         )
         .collect()                       # O(|sources|) control flow
     )
-    total = sum(r["sqrt_micro"] for r in per_src)   # integer, order-free
+    return _grid_from_per_src(
+        [(r["source"], r["n_docs"], r["sqrt_micro"]) for r in per_src],
+        epoch_docs)
+
+
+def _grid_from_per_src(per_src: list[tuple],
+                       epoch_docs: int) -> list[tuple]:
+    """The pure-integer half of :func:`mixture_grid_rows` — input
+    ``(source, n_docs, sqrt_micro)`` triples, output the sorted quota
+    grid. Split out so the degenerate-input guards are testable without
+    a data-sized fixture."""
+    total = sum(sm for (_s, _n, sm) in per_src)      # integer, order-free
+    if total == 0:
+        # every source has zero token mass (empty/whitespace-only corpus):
+        # no quota is derivable — an empty grid, like an empty corpus,
+        # rather than a ZeroDivisionError below.
+        return []
     rows = []
-    for r in sorted(per_src, key=lambda r: r["source"]):
-        quota = r["sqrt_micro"] * _MIX_QUOTA_SCALE // total
+    for source, n_docs, sqrt_micro in sorted(per_src):
+        if n_docs >= 2**31:
+            # mixture_threshold_keep's h32·n_docs must stay in BIGINT
+            # (h32 < 2^32): beyond 2^31 docs/source Spark would wrap
+            # silently (keeping nearly everything) while DuckDB raises.
+            # Refuse loudly; the documented path is widen-to-DECIMAL or
+            # pre-split the source.
+            raise ValueError(
+                f"source {source!r} has {n_docs} docs >= 2^31; the "
+                "integer threshold draw would overflow BIGINT — "
+                "pre-split the source or widen the draw to DECIMAL")
+        quota = sqrt_micro * _MIX_QUOTA_SCALE // total
         n_target = quota * epoch_docs // _MIX_QUOTA_SCALE
-        rows.append((r["source"], int(r["n_docs"]), int(quota),
-                     int(n_target)))
+        rows.append((source, int(n_docs), int(quota), int(n_target)))
     return rows
 
 

@@ -11,7 +11,7 @@ Usage::
         --warehouse /path/to/warehouse --run-id curate-2024-01 \
         [--batch-size 4] [--ctx-len 512] [--buckets 8]
 
-Stage 1 materializes the six-gate keep-set (curation_flags table);
+Stage 1 materializes the seven-gate keep-set (curation_flags table);
 stage 2 packs kept docs into fixed-length token sequences per content
 bucket with per-bucket checkpoints. Reruns with the same --run-id resume
 from the last committed bucket wave; semantic knobs are pinned per run

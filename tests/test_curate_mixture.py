@@ -112,3 +112,28 @@ def test_mixture_config_pin_refuses_changed_knob(spark, tmp_path):
     _run(spark, root, max_epochs=1)
     with pytest.raises(ValueError, match="different curation config"):
         _run(spark, root, epoch_docs=EPOCH_DOCS * 2)
+
+
+def test_mixture_grid_degenerate_corpora(spark):
+    """Round-8 review guards: a zero-token-mass corpus yields an EMPTY
+    grid (not ZeroDivisionError); a >= 2^31-doc source is refused loudly
+    (the silent-BIGINT-wrap path of the threshold draw)."""
+    from martial_arts_ocr_spark.queries.corpus import (
+        _grid_from_per_src, mixture_grid_rows)
+
+    # full Spark path: all-NULL texts -> NULL token sums coalesced to 0,
+    # total mass 0 -> empty grid (was a TypeError/ZeroDivisionError pair)
+    empty_mass = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None)],
+        "doc_id bigint, source string, text string")
+    assert mixture_grid_rows(empty_mass, epoch_docs=10) == []
+    # pure half agrees when every sqrt_micro is 0
+    assert _grid_from_per_src([("a", 1, 0), ("b", 1, 0)],
+                              epoch_docs=10) == []
+
+    # pure half: the BIGINT-overflow refusal for a 2^31-doc source
+    with pytest.raises(ValueError, match="2\\^31"):
+        _grid_from_per_src([("big", 2**31, 10**6)], epoch_docs=10)
+    # and one doc below the bound still produces a grid
+    grid = _grid_from_per_src([("big", 2**31 - 1, 10**6)], epoch_docs=10)
+    assert grid == [("big", 2**31 - 1, 100000, 10)]
