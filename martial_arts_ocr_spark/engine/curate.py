@@ -530,6 +530,14 @@ def read_mixture_sampled(spark: SparkSession, root: str, run_id: str,
 def read_mixture_packed(spark: SparkSession, root: str, run_id: str,
                         epoch: int) -> DataFrame:
     base = _mix_packed_path(root, run_id, epoch)
+    if not os.path.isdir(base):
+        # resume-path reader convention (ADVICE r7, extended to the
+        # mixture surface): name the run and the progress surface instead
+        # of a raw path-not-found AnalysisException
+        raise FileNotFoundError(
+            f"mixture epoch {epoch} has no packed output for run_id "
+            f"{run_id} under {base} (see completed_mix_pack(spark, root, "
+            "run_id) for which (epoch, bucket) waves have committed)")
     return (spark.read.schema(_PACKED_SCHEMA)
             .option("basePath", base).parquet(base))
 

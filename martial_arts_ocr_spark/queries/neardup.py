@@ -883,7 +883,19 @@ def _sem_assigned(spark, sf_dir):
 
 def semantic_neardup_pairs(spark, sf_dir):
     """(vec_a, vec_b) in-cluster pairs with round-5 cosine >= _SEM_THRESH
-    — candidates come only from the cluster equi-join."""
+    — candidates come only from the cluster equi-join.
+
+    Scale contract: the equi-join is O(c²) cosine evaluations in each
+    cluster of size c (Σcᵢ² total), so K — not the corpus — is the knob
+    that bounds the work: size K ∝ n_embedded / target_cluster_size
+    (SemDeDup runs ~50k clusters for ~100M-doc corpora, keeping clusters
+    in the low thousands, where c² is a cheap executor-local batch). The
+    join shuffles by cent_id, so one pathologically hot cluster is a
+    skew key — the same mitigation ladder as every keyed shuffle here
+    applies (AQE skew-join split first; re-fit with larger K if a
+    cluster exceeds the executor budget — splitting a cluster by
+    salting would silently drop its cross-salt pairs, so it is NOT a
+    legal mitigation for this join)."""
     asg = _sem_assigned(spark, sf_dir)
     a, b = asg.alias("a"), asg.alias("b")
     cos = F.round(

@@ -96,6 +96,12 @@ def test_mixture_crash_resume_byte_identity(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         curate.read_mixture_epoch_stream(spark, str(crash_root),
                                          "mixrun", 0)
+    # the packed reader follows the same named-error convention for an
+    # epoch whose pack stage never started (r8: raw AnalysisException
+    # before)
+    with pytest.raises(FileNotFoundError, match="completed_mix_pack"):
+        curate.read_mixture_packed(spark, str(crash_root),
+                                   "mixrun", N_EPOCHS - 1)
     resumed = _run(spark, crash_root, batch_size=3)
     assert resumed["complete"]
     for e in range(N_EPOCHS):
