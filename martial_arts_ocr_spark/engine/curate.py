@@ -593,13 +593,27 @@ def run_curate_mixture(spark: SparkSession, docs_dir: str, root: str,
 
     flags = _ensure_flags(spark, docs_dir, root, run_id)
 
-    # the kept corpus WITH source (the sampler's quota key) — the grid is
-    # an O(|sources|) driver collect over it, recomputed per invocation
-    # (cheap) and deterministic, so resume never needs to persist it
+    # the kept corpus WITH source (the sampler's quota key); the frame is
+    # lazy — it only executes for epochs whose sample isn't committed yet
     docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
     kept = docs.join(flags.where(F.col("kept")).select("doc_id"), "doc_id") \
                .select("doc_id", "source", "text")
-    grid = mixture_grid_rows(kept, epoch_docs=epoch_docs)
+
+    # the quota grid is snapshot-cached at first computation: a resume
+    # must sample with the SAME grid that shaped the already-committed
+    # epochs (not one re-derived from whatever docs_dir holds now), and a
+    # no-op resume/status poll then launches no corpus scan at all
+    grid_snap = next(
+        (s for s in catalog.read_snapshots(root, MIXTURE_DOCS_TABLE)
+         if s.get("run_id") == run_id and s.get("stage") == "mix_grid"),
+        None)
+    if grid_snap is not None:
+        grid = [tuple(r) for r in grid_snap["grid"]]
+    else:
+        grid = mixture_grid_rows(kept, epoch_docs=epoch_docs)
+        catalog.append_snapshot(root, MIXTURE_DOCS_TABLE,
+                                {"run_id": run_id, "stage": "mix_grid",
+                                 "grid": [list(r) for r in grid]})
 
     waves_left = max_waves
     epochs = list(range(n_epochs))

@@ -81,6 +81,20 @@ def test_mixture_run_counts_match_threshold_mirror(spark, tmp_path):
     # epochs draw DIFFERENT samples (the salt mixes the epoch)
     assert summary["sampled"][0] != summary["sampled"][1]
 
+    # the grid is snapshot-cached at first computation (r8 review): a
+    # resume samples with the grid that shaped the committed epochs and
+    # a no-op poll launches no corpus scan
+    from martial_arts_ocr_spark.engine import catalog
+    snaps = [x for x in catalog.read_snapshots(str(root),
+                                               curate.MIXTURE_DOCS_TABLE)
+             if x.get("stage") == "mix_grid"]
+    assert len(snaps) == 1
+    assert [tuple(r) for r in snaps[0]["grid"]] == grid
+    # a second invocation (pure no-op resume) reproduces the summary
+    again = _run(spark, root)
+    assert again["grid"] == summary["grid"]
+    assert again["sampled"] == summary["sampled"]
+
 
 def test_mixture_crash_resume_byte_identity(spark, tmp_path):
     # one-shot reference run
