@@ -30,6 +30,8 @@ import pandas as pd    # module-level: pandas_udf resolves stringified
 # 'pd.Series' annotations in the defining module's global namespace
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 _GOPHER_MIN_WORDS = 50
 _GOPHER_MAX_WORDS = 100_000
 _GOPHER_MIN_MWL = 3.0
@@ -44,7 +46,7 @@ _CONTAM_K = 8                  # same fixed-k shingles as repeated_spans
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return base_table(spark, sf_dir, "documents")
 
 
 def gopher_flag_exprs(text=None) -> dict:
@@ -972,7 +974,7 @@ def q_embedding_quality_scores(spark, sf_dir):
 
     100 TB shape: map-only — one embeddings scan, score and bucket fused
     into the projection, a single final sort for the oracle ordering."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = base_table(spark, sf_dir, "embeddings")
     score = _emb_score_col()
     return (
         emb.select(
@@ -1030,7 +1032,7 @@ def q_embedding_classifier_eval(spark, sf_dir):
     groupBy on ~10 bins."""
     from ..emb_classifier import POSITIVE_LABELS
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = base_table(spark, sf_dir, "embeddings")
     score = _emb_score_col()
     is_pos = F.col("label").isin(*sorted(POSITIVE_LABELS))
     return (
@@ -1123,7 +1125,7 @@ def q_corpus_keep_set(spark, sf_dir, _labels_slot="keep_set"):
     )
     from ..emb_classifier import THRESH_DROP
     emb_gate = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base_table(spark, sf_dir, "embeddings")
         .select(
             F.col("vec_id").alias("doc_id"),
             (_emb_score_col() >= F.lit(THRESH_DROP)).alias("emb_pass"),

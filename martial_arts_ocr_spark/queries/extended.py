@@ -18,9 +18,11 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return base_table(spark, sf_dir, name)
 
 
 # --- A1 arg-max: biggest order per customer ----------------------------------

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 from ..engine.job import run_extract, with_host
 
 # Deterministic page template: nav + cookie chrome (must be stripped), one
@@ -75,7 +77,7 @@ def _pages_from_documents(
     host_from_doc: bool = False,
     hot_host: bool = False,
 ) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = base_table(spark, sf_dir, "documents")
     # JVM-side HTML synthesis: concat of literals — no Python
     chunks = F.regexp_replace(
         F.col("text"), "(.{" + str(_CHUNK) + "})", "$1</p><p>"

@@ -17,6 +17,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 from ..multimodal import decode_media, encode_ppm
 
 
@@ -27,7 +29,7 @@ def _synth_media(spark, sf_dir: str, make_content):
     the plumbing (partitioning, schema, batch loop) so a layout change
     cannot be applied to one modality and silently missed on another
     (round-4 review: this existed as three diverging copies)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = base_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(iterator):
         for pdf in iterator:

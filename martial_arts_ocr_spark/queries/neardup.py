@@ -22,13 +22,15 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 
 def _emb(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return base_table(spark, sf_dir, "embeddings")
 
 
 def _docs(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return base_table(spark, sf_dir, "documents")
 
 
 def _dot(a, b):

@@ -23,13 +23,15 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 
 def _emb(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return base_table(spark, sf_dir, "embeddings")
 
 
 def _docs(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return base_table(spark, sf_dir, "documents")
 
 
 # --- brute-force cosine top-k vs a fixed query vector (vec_id = 0) --------------
@@ -357,7 +359,16 @@ def _minhash_band_keys_udf():
     def mhb(text: pd.Series) -> pd.Series:
         return minhash_band_keys_batch(text)
 
-    return mhb
+    # asNondeterministic stops Catalyst duplicating the sketch: the
+    # posexplode Generate downstream infers `size(band_keys) > 0 AND
+    # isnotnull(band_keys)` and pushes it below the projection by
+    # RE-EVALUATING the UDF (two ArrowEvalPython nodes for one call —
+    # the whole 32-perm MinHash ran twice per doc in minhash_bands,
+    # sigstore.band_keys and incremental_snapshot_dedup; optimization
+    # guide §4.4). The function itself is md5-deterministic, so retry
+    # semantics are unchanged; the flag only forbids the optimizer from
+    # copying or reordering the call.
+    return mhb.asNondeterministic()
 
 
 def _minhash_band_groups(spark, sf_dir):

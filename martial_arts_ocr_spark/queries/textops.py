@@ -17,9 +17,11 @@ import pandas as pd    # module-level: pandas_udf resolves the stringified
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from martial_arts_ocr_spark.queries.tables import base_table
+
 
 def _docs(spark: SparkSession, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return base_table(spark, sf_dir, "documents")
 
 
 # --- per-language token/char statistics (A6 corpus rollup) --------------------
