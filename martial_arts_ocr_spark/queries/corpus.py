@@ -30,7 +30,7 @@ import pandas as pd    # module-level: pandas_udf resolves stringified
 # 'pd.Series' annotations in the defining module's global namespace
 from pyspark.sql import functions as F
 
-from martial_arts_ocr_spark.queries.tables import base_table
+from martial_arts_ocr_spark.queries.tables import base_table, spread_table
 
 _GOPHER_MIN_WORDS = 50
 _GOPHER_MAX_WORDS = 100_000
@@ -190,7 +190,7 @@ def q_benchmark_contamination(spark, sf_dir):
     suites are thousands of rows) → BroadcastHashJoin, map-only over the
     corpus scan; the gram explode is the only shuffle-free heavy op and
     feeds a single partial-agg groupBy."""
-    d = _docs(spark, sf_dir).select(
+    d = spread_table(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).where(F.size("toks") >= _CONTAM_K)
     grams = d.select(
@@ -274,7 +274,7 @@ def q_repetition_flags(spark, sf_dir):
     max·50 ≤ total·9 for 0.18) so no float ever crosses the engine
     boundary. One explode + two aggregations per n; map-side combine
     makes it scan-shaped at scale."""
-    d = _docs(spark, sf_dir).select(
+    d = spread_table(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
 
@@ -383,7 +383,7 @@ def q_gopher_line_flags(spark, sf_dir):
 
     Every threshold is integer cross-multiplication (max·10 ≤ n·9 etc.) so
     no float crosses the engine boundary."""
-    d = _docs(spark, sf_dir).select(
+    d = spread_table(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     lines = F.transform(

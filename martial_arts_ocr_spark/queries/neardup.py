@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from martial_arts_ocr_spark.queries.tables import base_table
+from martial_arts_ocr_spark.queries.tables import base_table, spread_table
 
 
 def _emb(spark: SparkSession, sf_dir: str):
@@ -780,7 +780,7 @@ def q_repeated_spans(spark, sf_dir):
     operator from the training-data dedup literature). JVM-side sliding
     windows (sequence/transform/slice over the token array), md5 span
     keys, one shuffle on the span hash."""
-    d = _docs(spark, sf_dir).select(
+    d = spread_table(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).where(F.size("toks") >= _SPAN_K)
     grams = d.select(

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
-from martial_arts_ocr_spark.queries.tables import base_table
+from martial_arts_ocr_spark.queries.tables import base_table, spread_table
 
 
 def _emb(spark: SparkSession, sf_dir: str):
@@ -376,7 +376,10 @@ def _minhash_band_groups(spark, sf_dir):
     Used by the verified-pairs pipeline; NOT registered directly — the
     driver's canonicalizer cannot sort array-typed columns (the one red
     row in CORRECTNESS_r01)."""
-    d = _docs(spark, sf_dir)
+    # narrow projection + scale-adaptive spread BEFORE the sketch UDF:
+    # single-row-group inputs otherwise run the whole 32-perm MinHash on
+    # one core (tables.spread docstring has the measurements)
+    d = spread_table(spark, sf_dir, "documents", "doc_id", "text")
     mhb = _minhash_band_keys_udf()
     keys = d.select("doc_id", mhb(F.col("text")).alias("band_keys"))
     bands = keys.select(
@@ -575,7 +578,7 @@ def q_incremental_snapshot_dedup(spark, sf_dir):
     keys = _SIG_CACHE.get(key)
     if keys is None:
         mhb = _minhash_band_keys_udf()
-        keys = d.select(
+        keys = spread_table(spark, sf_dir, "documents", "doc_id", "text").select(
             "doc_id",
             F.posexplode(mhb(F.col("text"))).alias("band", "band_key"),
         ).persist()        # sketch ONCE; store/new/self-join all reuse it

@@ -39,3 +39,71 @@ def base_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
     return df
+
+
+def spread(df: DataFrame, n_source: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism recovery before expensive per-row work.
+
+    A parquet scan cannot be split below row-group boundaries, so a table
+    written as few row groups yields fewer scan partitions than the
+    cluster has cores no matter what ``maxPartitionBytes`` asks for (the
+    driver tables are single-row-group files: every fused scan stage runs
+    on ONE core at any SF). Work that is fused into such a scan — sketch
+    UDFs, tokenize-heavy column algebra — is then serialized on one task
+    while the rest of the cluster idles.
+
+    ``spread`` round-robin-repartitions to the session's default
+    parallelism ONLY when the plan's scan yields fewer partitions: at
+    warehouse scale input splits outnumber cores and this is a no-op
+    (``df`` returned unchanged, zero plan change); on few-row-group
+    inputs it pays one small shuffle of the projected columns to win
+    cluster-wide parallelism for the expensive stage (measured: the
+    MinHash sketch over a 50k-doc single-row-group table drops 4.9 s →
+    1.2 s on local[32]; flat at 5k docs where the sketch is ~0.4 s).
+
+    Call it on a NARROW projection (only the columns the downstream
+    stage needs) so the exchange carries minimal bytes (guide: project
+    before the exchange). Round-robin ``repartition(n)`` is exactly
+    uniform (round-4 lesson: keyed spreads collapse on low-cardinality
+    keys) and deterministic under retries (sort-before-repartition is
+    on by default). Per-row-deterministic downstream kernels make the
+    result independent of batch composition, and every registered query
+    ends in a total ORDER BY, so outputs are byte-identical.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) builds the
+    scan RDD but launches no job; with the memoized base tables it costs
+    ~1 ms (first build ~40 ms per session).
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if (n_source if n_source is not None
+            else df.rdd.getNumPartitions()) < p:
+        return df.repartition(p)
+    return df
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized scan-partition count of a driver table.
+
+    ``DataFrame.rdd.getNumPartitions()`` on a freshly-built projection
+    costs ~55 ms (physical-plan build); probing the memoized base frame
+    once per (session, table) and caching the count makes every later
+    ``spread`` decision free. Valid because the split count of a
+    read-only parquet path is fixed for the session (same files, same
+    ``maxPartitionBytes``)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name, "nparts")
+    n = _TABLE_CACHE.get(key)
+    if n is None:
+        n = base_table(spark, sf_dir, name).rdd.getNumPartitions()
+        _TABLE_CACHE[key] = n
+    return n
+
+
+def spread_table(spark: SparkSession, sf_dir: str, name: str, *cols: str):
+    """``base_table`` → narrow projection → ``spread``, with the
+    partition probe memoized (the composition every spread call site
+    wants: project-before-exchange + free probe)."""
+    return spread(
+        base_table(spark, sf_dir, name).select(*cols),
+        n_source=scan_partitions(spark, sf_dir, name),
+    )

@@ -27,6 +27,9 @@ def _docs(spark: SparkSession, sf_dir: str):
 # --- per-language token/char statistics (A6 corpus rollup) --------------------
 
 def q_doc_stats_by_lang(spark, sf_dir):
+    # spread() A/B: +0.05 s at sf0.1, -0.15 s at 10x — inside noise both
+    # ways; left unspread (the tokenize feeds a partial agg that fuses
+    # with the scan, and the shuffle would carry the full text column).
     d = _docs(spark, sf_dir)
     tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (
@@ -156,6 +159,9 @@ def _occurrences(col, marker):
 
 
 def q_langid_heuristic(spark, sf_dir):
+    # spread() measured a REGRESSION here at sf0.1 (0.25 -> 0.37 s best,
+    # interleaved A/B) and flat at 10x: the 4-marker occurrence count is
+    # codegen'd string work cheaper than shuffling the text column.
     d = _docs(spark, sf_dir)
     col = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     counts = [_occurrences(col, m).alias(f"n_{m}") for m, _ in _MARKERS]
@@ -261,6 +267,10 @@ def q_bpe_token_counts(spark, sf_dir):
     pandas UDF with per-batch word memoization — map-only, then a
     partial-agg groupBy(lang); at 100 TB this is scan-shaped with the
     merge table a task-local constant."""
+    # spread() A/B: 0.62 -> 1.07 s at sf0.1 (the per-batch word memo
+    # fragments: 32 small batches re-hash shared vocabulary that one
+    # scan-fused batch stream memoizes once) vs 1.09 -> 0.60 s at 10x.
+    # Left unspread: the memo effect dominates until per-doc work does.
     d = _docs(spark, sf_dir)
     bc = _bpe_count_udf()
     counted = d.select("lang", bc(F.col("text")).alias("n_tokens"))

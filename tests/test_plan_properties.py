@@ -104,7 +104,18 @@ def test_corpus_curation_plan_shapes(spark):
     for name in ("gopher_quality_flags", "train_val_split",
                  "gopher_line_flags"):
         plan = _plan(spark, name)
-        assert plan.count("Exchange") <= 1, (name, plan[:800])
+        # map-only contract, refined for the round-9 scale-adaptive
+        # spread (queries/tables.py): RoundRobinPartitioning exchanges
+        # are parallelism recovery on few-row-group inputs (absent at
+        # warehouse scale where scan splits >= cores) and carry no
+        # key semantics; every KEYED exchange but the presentation
+        # sort is still forbidden — the original scale-shape pin.
+        keyed = (plan.count("Exchange hashpartitioning")
+                 + plan.count("Exchange rangepartitioning"))
+        assert keyed <= 1, (name, plan[:800])
+        non_spread = plan.count("Exchange") - plan.count(
+            "Exchange RoundRobinPartitioning")
+        assert non_spread <= 1, (name, plan[:800])
         assert "Join" not in plan, name
     contam = _plan(spark, "benchmark_contamination")
     # the corpus side must reach the benchmark probe set via broadcast —
