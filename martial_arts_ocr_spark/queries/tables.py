@@ -25,6 +25,8 @@ plans across sessions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
@@ -41,7 +43,15 @@ def base_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame, n_source: int | None = None) -> DataFrame:
+# Below this many compressed source bytes per scan partition the spread
+# exchange is pure overhead (see the inline comment in ``spread``); 1 MiB
+# of zstd/snappy parquet text is roughly 5-10k documents, whose fused
+# per-row work is already cheaper than one extra shuffle stage.
+SPREAD_MIN_SOURCE_BYTES = 1 << 20
+
+
+def spread(df: DataFrame, n_source: int | None = None,
+           src_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism recovery before expensive per-row work.
 
     A parquet scan cannot be split below row-group boundaries, so a table
@@ -76,10 +86,35 @@ def spread(df: DataFrame, n_source: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
+    if src_bytes is not None and src_bytes < SPREAD_MIN_SOURCE_BYTES:
+        # Too small for the exchange to pay for itself: the extra
+        # shuffle stage costs ~0.3-0.5 s of fixed work (stage
+        # scheduling + codegen of the exchange path) on the FIRST run
+        # of a query — the run the one-shot bench measures — while the
+        # serialized compute it would parallelize grows linearly with
+        # source bytes. Measured crossover: at the 0.6 MiB sf0.1
+        # documents table spread was flat in steady state but +0.3-0.4 s
+        # on first run (bench medians: gopher 1.55 -> 1.98); at the
+        # 5.8 MiB 10x fixture it was a 3-4x win. The threshold is
+        # per-source-partition compressed bytes, i.e. input-derived,
+        # not a tuned constant for either scale.
+        return df
     if (n_source if n_source is not None
             else df.rdd.getNumPartitions()) < p:
         return df.repartition(p)
     return df
+
+
+def source_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized on-disk size of a driver table (the spread threshold
+    input). File size, not a Spark statistic: the driver tables are
+    single plain parquet files on a read-only mount."""
+    key = (spark.sparkContext.applicationId, sf_dir, name, "bytes")
+    n = _TABLE_CACHE.get(key)
+    if n is None:
+        n = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = n
+    return n
 
 
 def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
@@ -103,7 +138,9 @@ def spread_table(spark: SparkSession, sf_dir: str, name: str, *cols: str):
     """``base_table`` → narrow projection → ``spread``, with the
     partition probe memoized (the composition every spread call site
     wants: project-before-exchange + free probe)."""
+    n = scan_partitions(spark, sf_dir, name)
     return spread(
         base_table(spark, sf_dir, name).select(*cols),
-        n_source=scan_partitions(spark, sf_dir, name),
+        n_source=n,
+        src_bytes=source_bytes(spark, sf_dir, name) // max(n, 1),
     )

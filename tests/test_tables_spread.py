@@ -9,7 +9,9 @@ plans are unchanged.
 
 from __future__ import annotations
 
-from martial_arts_ocr_spark.queries.tables import _TABLE_CACHE, base_table, spread
+from martial_arts_ocr_spark.queries.tables import (SPREAD_MIN_SOURCE_BYTES,
+                                                   _TABLE_CACHE, base_table,
+                                                   spread, spread_table)
 
 # uses the conftest session-scoped `spark` fixture — a module-local
 # fixture that calls .stop() would kill the process-global SparkContext
@@ -59,3 +61,19 @@ def test_spread_preserves_rows(spark):
     before = sorted(r["doc_id"] for r in narrow.collect())
     after = sorted(r["doc_id"] for r in spread(narrow).collect())
     assert before == after
+
+
+def test_spread_respects_source_size_threshold(spark):
+    """Sub-threshold sources (every sf fixture table) stay unspread —
+    the exchange's fixed first-run cost exceeds the serialized compute
+    it would parallelize; above the threshold the repartition fires."""
+    narrow = base_table(spark, SF, "documents").select("doc_id", "text")
+    small = spread(narrow, n_source=1, src_bytes=SPREAD_MIN_SOURCE_BYTES - 1)
+    assert small is narrow
+    big = spread(narrow, n_source=1, src_bytes=SPREAD_MIN_SOURCE_BYTES)
+    assert big is not narrow
+    assert big.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # spread_table wires the real file size through: the tiny sf0.001
+    # documents table must come back unspread
+    st = spread_table(spark, SF, "documents", "doc_id", "text")
+    assert st.rdd.getNumPartitions() == 1
